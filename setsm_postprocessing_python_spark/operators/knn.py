@@ -1,0 +1,79 @@
+"""kNN via k-ring expansion + cell-local join.
+
+Reference analogue: "most-overlapping neighbor" selection
+(lib/scenes2strips.py:979-989). Engine semantics per the north rule:
+k-ring expansion of the query page's cell, equi-join on cell id, rank by
+distance, row_number() <= k.
+
+Scale design:
+- the join key is the canonical cell id, so this is a plain shuffle
+  equi-join (sort-merge or shuffled-hash, AQE decides); both sides are
+  partitioned by cell — co-partitioning the pages table by bucket(cell)
+  at write time makes this shuffle-free on a real cluster;
+- ring expansion multiplies the probe side by (2r+1)^2 BEFORE the shuffle —
+  that is deliberate: the alternative (expanding the build side) would
+  duplicate the data 9x in state instead of in flight;
+- the top-k is a window over url_a, which reuses the join's output
+  partitioning when the join is keyed on (cell); skewed hot cells are
+  handled by AQE skew-join splitting (and operators/skew.py salting for
+  aggregations).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..sql import dialect as D
+
+
+def ring_offsets(ring: int = 1) -> list[tuple[int, int]]:
+    return [(dx, dy) for dy in range(-ring, ring + 1) for dx in range(-ring, ring + 1)]
+
+
+def kring_expand(df: DataFrame, ring: int = 1,
+                 cell_x: str = "cell_x", cell_y: str = "cell_y") -> DataFrame:
+    """Explode each row into its (2r+1)^2 neighbor cells; adds `nbr_cell`."""
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in ring_offsets(ring)
+    ])
+    return (
+        df.withColumn("_o", F.explode(offsets))
+        .withColumn(
+            "nbr_cell",
+            (F.col(cell_y) + F.col("_o.dy")) * F.lit(D.LON_CELL_STRIDE)
+            + (F.col(cell_x) + F.col("_o.dx")),
+        )
+        .drop("_o")
+    )
+
+
+def knn_join(df: DataFrame, k: int = 3, ring: int = 1) -> DataFrame:
+    """For each page, the k nearest other pages whose cell is within the
+    k-ring. Output: url_a, url_b, cell (of a), dist2 (squared degrees),
+    rank. Deterministic tie-break on url_b."""
+    a = df.select(
+        F.col("url").alias("url_a"),
+        F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a"),
+        F.col("cell").alias("cell_a"),
+        F.col("cell_x"), F.col("cell_y"),
+    )
+    a = kring_expand(a)
+    b = df.select(
+        F.col("url").alias("url_b"),
+        F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    j = a.join(b, a.nbr_cell == b.cell_b, "inner").where(F.col("url_a") != F.col("url_b"))
+    j = j.withColumn(
+        "dist2",
+        (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+        + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b")),
+    )
+    w = Window.partitionBy("url_a").orderBy(F.col("dist2").asc(), F.col("url_b").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("url_a", "url_b", F.col("cell_a").alias("cell"), "dist2", "rank")
+    )

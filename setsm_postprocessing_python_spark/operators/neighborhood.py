@@ -1,0 +1,110 @@
+"""k-ring neighborhood aggregations — the raster-kernel family.
+
+Reference semantics recast to cell space: the reference computes moving
+window statistics over rasters (moving_average lib/raster_array_tools.py:
+1753-1834, getDataDensityMap lib/filter_scene.py:971-1007, local stdev
+lib/filter_scene.py:1517-1524, entropyfilt lib/raster_array_tools.py:
+2541-2750). In cell space a window = the k-ring of a cell, and every kernel
+becomes: per-cell partial aggregate -> explode partials to the k-ring ->
+final aggregate at the target cell. That is exactly two-stage (partial+final)
+aggregation, so map-side combine applies and the shuffle carries one row per
+(cell, ring-offset) — independent of page count per cell.
+
+This mirrors the reference's own coarse-first optimization (all filtering at
+8 m regardless of native res, lib/filter_scene.py:489-492): aggregate first,
+convolve the small aggregate table, never the raw rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..sql import dialect as D
+from .knn import ring_offsets
+
+
+def _scatter_to_ring(cell_stats: DataFrame, ring: int) -> DataFrame:
+    """Explode per-cell partial rows to every cell in their k-ring (the
+    transpose of 'gather from neighbors' — same result, join-free)."""
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in ring_offsets(ring)
+    ])
+    return (
+        cell_stats.withColumn("_o", F.explode(offsets))
+        .withColumn(
+            "target_cell",
+            (F.col("cell_y") + F.col("_o.dy")) * F.lit(D.LON_CELL_STRIDE)
+            + (F.col("cell_x") + F.col("_o.dx")),
+        )
+        .drop("_o")
+    )
+
+
+def ring_density(df: DataFrame, ring: int = 1,
+                 occupied_only: bool = True) -> DataFrame:
+    """Pages within the k-ring of each cell (getDataDensityMap analogue,
+    lib/filter_scene.py:971-1007). Output: (cell, n_in_ring).
+
+    occupied_only: restrict output to cells that contain >=1 page (the
+    data-footprint cells), matching the raster data-density map evaluated
+    at data pixels."""
+    per_cell = df.groupBy("cell", "cell_x", "cell_y").agg(
+        F.count(F.lit(1)).alias("n"))
+    scattered = _scatter_to_ring(per_cell, ring)
+    dens = scattered.groupBy("target_cell").agg(F.sum("n").alias("n_in_ring"))
+    if occupied_only:
+        occ = per_cell.select(F.col("cell").alias("target_cell"))
+        dens = dens.join(occ, "target_cell", "inner")
+    return dens.select(F.col("target_cell").alias("cell"), "n_in_ring")
+
+
+def ring_stat(df: DataFrame, value: str, ring: int = 1) -> DataFrame:
+    """Mean/var/stddev of `value` over each occupied cell's k-ring (local
+    stdev analogue, lib/filter_scene.py:1517-1524: sqrt(E[v^2]-E[v]^2),
+    negative clamp to 0). Two-stage: per-cell (sum, sum_sq, n) partials,
+    ring scatter, final combine — numerically identical regardless of
+    partitioning because partials are plain sums."""
+    per_cell = df.groupBy("cell", "cell_x", "cell_y").agg(
+        F.sum(F.col(value).cast("double")).alias("s"),
+        F.sum((F.col(value) * F.col(value)).cast("double")).alias("ss"),
+        F.count(value).alias("n"),
+    )
+    scattered = _scatter_to_ring(per_cell, ring)
+    out = scattered.groupBy("target_cell").agg(
+        F.sum("s").alias("s"), F.sum("ss").alias("ss"), F.sum("n").alias("n"))
+    occ = per_cell.select(F.col("cell").alias("target_cell"))
+    out = out.join(occ, "target_cell", "inner")
+    mean = F.col("s") / F.col("n")
+    var = F.greatest(F.col("ss") / F.col("n") - mean * mean, F.lit(0.0))
+    return out.select(
+        F.col("target_cell").alias("cell"),
+        F.col("n").alias("n_in_ring"),
+        mean.alias("ring_mean"),
+        F.sqrt(var).alias("ring_std"),
+    )
+
+
+def ring_entropy(df: DataFrame, category: str = "lang", ring: int = 1) -> DataFrame:
+    """Shannon entropy (bits) of a categorical column over each occupied
+    cell's k-ring (entropyfilt analogue, lib/raster_array_tools.py:2541-2750,
+    binned-value entropy over a window). Two-stage agg over (cell, category)
+    counts; entropy computed from exact integer counts so the only float ops
+    are the final log2s — deterministic under any partitioning."""
+    per_cell_cat = df.groupBy("cell", "cell_x", "cell_y", category).agg(
+        F.count(F.lit(1)).alias("n"))
+    scattered = _scatter_to_ring(per_cell_cat, ring)
+    ring_cat = scattered.groupBy("target_cell", category).agg(
+        F.sum("n").alias("n"))
+    # entropy = log2(N) - sum(n*log2(n))/N  (exact-integer form)
+    ent = ring_cat.groupBy("target_cell").agg(
+        F.sum("n").alias("N"),
+        F.sum(F.col("n").cast("double") * F.log2(F.col("n").cast("double"))).alias("nlogn"),
+    )
+    occ = df.select(F.col("cell").alias("target_cell")).distinct()
+    ent = ent.join(occ, "target_cell", "inner")
+    return ent.select(
+        F.col("target_cell").alias("cell"),
+        (F.log2(F.col("N").cast("double")) - F.col("nlogn") / F.col("N")).alias("ring_entropy"),
+    )

@@ -1,0 +1,172 @@
+"""Driver-facing query registry: (spark, sf_dir) -> DataFrame, plus the
+matching DuckDB oracle SQL for each.
+
+Every query is the Spark-DataFrame rendering of semantics also expressed in
+ANSI SQL (sql/dialect.py) — the twin-implementation validation strategy of
+the reference (testing/test.py MATLAB lockstep) recast as Spark-vs-DuckDB.
+Column names are aligned on both sides (driver hashes sorted columns).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import flags as OF
+from ..operators import knn as OK
+from ..operators import neighborhood as ON
+from ..operators import tiles as OT
+from ..sources import pages as P
+from ..sql import dialect as D
+
+_DD = D.DUCKDB
+
+
+# ---------------------------------------------------------------------------
+# engine-side queries (DataFrame API)
+# ---------------------------------------------------------------------------
+
+def q_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """url -> (lat, lon, cell): the scan+project+geocode slice."""
+    df = P.geocoded_pages(spark, sf_dir)
+    # raw doubles: both engines evaluate the identical IEEE-754 expression
+    # tree, so values are bit-identical — no rounding needed (rounding
+    # algorithms differ across engines; raw arithmetic does not)
+    return df.select(
+        "url", F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lat", "lon", "cell_x", "cell_y", "cell",
+    )
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP tile assignment against broadcast quad-tree rectangles (pandas
+    UDF path — the general-geometry engine path)."""
+    df = P.geocoded_pages(spark, sf_dir)
+    tiles = OT.fixed_depth_tiles(D.TILE_DEPTH)
+    return OT.assign_tiles_pip(df, tiles).select("url", "tile_id")
+
+
+def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mosaic-tile rollup: pages + distinct host groups per tile (strip
+    summary stats analogue, batch_scenes2strips.py:1582-1660)."""
+    df = P.geocoded_pages(spark, sf_dir)
+    df = OT.assign_tiles_quadkey(df)  # JVM fast path, identical to PIP
+    return df.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("group_id").alias("n_hosts"),
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring kNN join (k=3, ring=1)."""
+    df = P.geocoded_pages(spark, sf_dir)
+    return OK.knn_join(df, k=3, ring=1).select(
+        "url_a", "url_b", F.col("rank").alias("knn_rank"))
+
+
+def q_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page bitmask flags (mask_v2 analogue)."""
+    df = OF.with_flags(P.pages(spark, sf_dir))
+    return df.select("url", "flags")
+
+
+def q_mask_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nowater bit-unset then flagged-page census per host group
+    (lib/scenes2strips.py:1160-1174 + bit_or merge :691)."""
+    df = OF.with_flags(P.pages(spark, sf_dir))
+    df = OF.unset_bits(df, nowater=True)
+    return df.groupBy("group_id").agg(
+        F.sum(F.when(F.col("flags") > 0, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+        F.expr("cast(bit_or(flags) as int)").alias("flags_merged"),
+        F.count(F.lit(1)).alias("n_pages"),
+    )
+
+
+def q_ring_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring page density per occupied cell (data-density-map analogue)."""
+    df = P.geocoded_pages(spark, sf_dir)
+    return ON.ring_density(df, ring=1).select(
+        "cell", F.col("n_in_ring").cast("bigint").alias("n_in_ring"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: canonical min doc_id per md5(text)."""
+    df = P.pages(spark, sf_dir)
+    return df.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+def _with_cells(body: str, extra_ctes: str = "") -> str:
+    extra = f", {extra_ctes}" if extra_ctes else ""
+    return f"WITH {D.geo_ctes(_DD)}{extra} {body}"
+
+
+ORACLES: dict[str, str] = {
+    "q_geocode": _with_cells(
+        "SELECT url, CAST(doc_id AS BIGINT) AS doc_id, lat, lon, "
+        "cell_x, cell_y, cell FROM cells"),
+    "q_tile_assign": _with_cells(
+        f"SELECT url, {D.quadkey_expr(_DD)} AS tile_id FROM cells"),
+    "q_tile_counts": _with_cells(
+        f"""SELECT tile_id, CAST(count(*) AS BIGINT) AS n_pages,
+            CAST(count(DISTINCT group_id) AS BIGINT) AS n_hosts
+            FROM (SELECT {D.quadkey_expr(_DD)} AS tile_id, group_id FROM cells)
+            GROUP BY tile_id"""),
+    "q_knn": _with_cells(
+        """SELECT url_a, url_b, knn_rank FROM (
+             SELECT a.url AS url_a, b.url AS url_b,
+                    row_number() OVER (
+                      PARTITION BY a.url
+                      ORDER BY (a.lat-b.lat)*(a.lat-b.lat)
+                             + (a.lon-b.lon)*(a.lon-b.lon) ASC, b.url ASC
+                    ) AS knn_rank
+             FROM cells a CROSS JOIN offs o
+             JOIN cells b
+               ON (a.cell_y + o.dy) * 131072 + (a.cell_x + o.dx)
+                  = b.cell_y * 131072 + b.cell_x
+             WHERE a.url <> b.url
+           ) WHERE knn_rank <= 3""",
+        extra_ctes=D.ring_offsets_values(1)),
+    "q_flags": _with_cells(
+        f"SELECT url, {D.flags_expr(_DD)} AS flags FROM cells"),
+    "q_mask_filter": _with_cells(
+        f"""SELECT group_id,
+             CAST(sum(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             CAST(bit_or(f) AS INT) AS flags_merged,
+             CAST(count(*) AS BIGINT) AS n_pages
+            FROM (SELECT group_id, ({D.flags_expr(_DD)} & 5) AS f FROM cells)
+            GROUP BY group_id"""),
+    "q_ring_density": _with_cells(
+        """SELECT d.target_cell AS cell, CAST(d.n_in_ring AS BIGINT) AS n_in_ring
+           FROM (
+             SELECT (p.cell_y + o.dy) * 131072 + (p.cell_x + o.dx) AS target_cell,
+                    sum(p.n) AS n_in_ring
+             FROM (SELECT cell_x, cell_y, count(*) AS n
+                   FROM cells GROUP BY cell_x, cell_y) p
+             CROSS JOIN offs o
+             GROUP BY 1
+           ) d
+           JOIN (SELECT DISTINCT cell FROM cells) c ON d.target_cell = c.cell""",
+        extra_ctes=D.ring_offsets_values(1)),
+    "q_dedup_exact": _with_cells(
+        """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_dups FROM cells GROUP BY md5(text)"""),
+}
+
+
+QUERIES = {
+    "q_geocode": q_geocode,
+    "q_tile_assign": q_tile_assign,
+    "q_tile_counts": q_tile_counts,
+    "q_knn": q_knn,
+    "q_flags": q_flags,
+    "q_mask_filter": q_mask_filter,
+    "q_ring_density": q_ring_density,
+    "q_dedup_exact": q_dedup_exact,
+}

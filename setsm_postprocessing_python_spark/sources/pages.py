@@ -1,0 +1,76 @@
+"""Pages source: the engine's input table.
+
+BASELINE input_hint shape: (url:string, warc_ts:timestamp, html:binary,
+text:string, lang:string). In production this is an Iceberg table of 10^12
+Common-Crawl pages partitioned by bucket(url) + days(warc_ts); in the sandbox
+it is derived deterministically from the driver's `documents` parquet table so
+the DuckDB oracle can derive the *same* rows (sql/dialect.py:pages_cte).
+
+Scan-path notes for 100 TB:
+- read is a plain columnar scan; Catalyst prunes columns (only `text` is
+  wide) and pushes filters into the parquet reader,
+- `url`/`group_id` derivation is pure JVM expression work inside
+  WholeStageCodegen — no Python in the scan path,
+- html is materialized lazily (only queries that need the binary column
+  touch it; column pruning drops it everywhere else).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sql import dialect as D
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def pages(spark: SparkSession, sf_dir: str, with_html: bool = False) -> DataFrame:
+    """Derive the pages table (input_hint shape) from `documents`.
+
+    Column parity with sql/dialect.py:pages_cte is exact — this is the Spark
+    rendering of the same expression templates.
+    """
+    df = read_documents(spark, sf_dir).select(
+        F.expr(D.url_expr(D.SPARK)).alias("url"),
+        F.expr(D.warc_epoch_expr()).alias("warc_epoch"),
+        F.expr(D.group_id_expr(D.SPARK)).alias("group_id"),
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+    )
+    # real timestamp for engine-side use (windowing/streaming); oracle
+    # comparisons use warc_epoch (bigint) for stable hashing
+    df = df.withColumn("warc_ts", F.timestamp_seconds("warc_epoch"))
+    if with_html:
+        df = df.withColumn(
+            "html",
+            F.encode(
+                F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+                "utf-8",
+            ),
+        )
+    return df
+
+
+def geocoded_pages(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    """pages + (lat, lon, cell, cell_x, cell_y) — the geocode projection.
+
+    Pure JVM-side expressions (md5 + arithmetic): stays inside
+    WholeStageCodegen, no UDF, fully vectorized. This is the engine analogue
+    of the reference's raster load + coordinate-vector derivation
+    (lib/raster_io.py:441-443) — here the 'grid' is the canonical global
+    0.005-degree cell space, so phase alignment is free
+    (cf. lib/scenes2strips.py:279-282).
+    """
+    df = pages(spark, sf_dir, **kw)
+    return (
+        df.withColumn("lat", F.expr(D.lat_expr(D.SPARK)))
+        .withColumn("lon", F.expr(D.lon_expr(D.SPARK)))
+        .withColumn("cell_x", F.expr(D.cell_x_expr()))
+        .withColumn("cell_y", F.expr(D.cell_y_expr()))
+        .withColumn("cell", F.expr(D.cell_id_from_xy()))
+    )

@@ -1,0 +1,215 @@
+"""Dual-dialect SQL expression kernels (Spark SQL + DuckDB).
+
+Every deterministic scalar kernel of the engine (geocode hash, grid cell id,
+flags predicates, token stats) is defined ONCE here and rendered into either
+dialect. The Spark rendering is used inside DataFrame code via F.expr; the
+DuckDB rendering backs the driver's oracle SQL. Because both engines evaluate
+the *same* IEEE-754 double expression tree, results match bit-for-bit — the
+engine analogue of the reference's twin-implementation (Python vs MATLAB)
+validation strategy (reference testing/test.py).
+
+Semantics notes (reference citations are into /root/reference):
+- geocode: url -> md5 -> two 32-bit words -> (lat, lon). Deterministic
+  "phase-aligned grid" — overlapping pages land on exactly identical
+  coordinates, the analogue of the reference's integer-aligned raster grids
+  (lib/scenes2strips.py:279-282).
+- grid cell: 0.005-degree lat/lon cells (~H3 res-8 scale), row-major bigint
+  id. Canonical cell ids make grid-alignment joins plain equi-joins
+  (cf. lib/scenes2strips.py:350-364).
+- quadkey tiles: fixed-depth quad-tree over the lat/lon plane; the digit
+  sequence is the tile id, matching the engine's PIP assignment with
+  closed-lower/open-upper rectangle bounds.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+# lat spans [-85, 85) to stay clear of pole degeneracies; lon [-180, 180).
+LAT_SPAN = 170.0
+LON_SPAN = 360.0
+# 0.005 deg ~ 550 m at the equator ~ H3 res-8 cell scale.
+CELLS_PER_DEG = 200.0
+LON_CELL_STRIDE = 131072  # 2^17 > 360*200 lon cells; row-major cell id packing
+TILE_DEPTH = 4  # fixed-depth quad-tree for the oracle-checkable tile grid
+HOSTS = 50  # synthetic url host count (strip-pair-ID analogue groups)
+WARC_EPOCH0 = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def hex8_i64(expr: str, start: int, dialect: str) -> str:
+    """First/second/... 8 hex chars of md5(expr) as a bigint in [0, 2^32)."""
+    sub = f"substr(md5({expr}), {start}, 8)"
+    if dialect == SPARK:
+        return f"cast(conv({sub}, 16, 10) as bigint)"
+    return f"cast(('0x' || {sub}) as bigint)"
+
+
+def _str(expr: str, dialect: str) -> str:
+    t = "string" if dialect == SPARK else "varchar"
+    return f"cast({expr} as {t})"
+
+
+# ---------------------------------------------------------------------------
+# pages derivation from the driver's `documents` table
+# ---------------------------------------------------------------------------
+
+def url_expr(dialect: str, doc_id: str = "doc_id") -> str:
+    host = _str(f"{doc_id} % {HOSTS}", dialect)
+    did = _str(doc_id, dialect)
+    if dialect == SPARK:
+        return f"concat('https://host', {host}, '.example/p/', {did})"
+    return f"('https://host' || {host} || '.example/p/' || {did})"
+
+
+def warc_epoch_expr(doc_id: str = "doc_id") -> str:
+    # deterministic pseudo-crawl-time, seconds since WARC_EPOCH0
+    return f"cast({WARC_EPOCH0} + (({doc_id} * 37) % 86400) as bigint)"
+
+
+def group_id_expr(dialect: str, doc_id: str = "doc_id") -> str:
+    """strip-pair-ID analogue: host group (cf. batch_scenes2strips.py:180-181)."""
+    host = _str(f"{doc_id} % {HOSTS}", dialect)
+    if dialect == SPARK:
+        return f"concat('host', {host})"
+    return f"('host' || {host})"
+
+
+def pages_cte(dialect: str, documents: str = "documents") -> str:
+    """Common-table expression deriving the pages table (BASELINE input_hint
+    shape) deterministically from the driver's `documents` parquet table.
+
+    html/text/lang carried through; warc_epoch kept as bigint for stable
+    cross-engine hashing (the engine materializes a real timestamp too).
+    """
+    return f"""
+    SELECT
+      {url_expr(dialect)}            AS url,
+      {warc_epoch_expr()}            AS warc_epoch,
+      {group_id_expr(dialect)}       AS group_id,
+      doc_id,
+      text,
+      lang,
+      n_chars
+    FROM {documents}
+    """
+
+
+# ---------------------------------------------------------------------------
+# geocode + cells
+# ---------------------------------------------------------------------------
+
+def lat_expr(dialect: str, url: str = "url") -> str:
+    h = hex8_i64(url, 1, dialect)
+    return f"(cast({h} as double) / 4294967296.0 * {LAT_SPAN} - {LAT_SPAN / 2})"
+
+
+def lon_expr(dialect: str, url: str = "url") -> str:
+    h = hex8_i64(url, 9, dialect)
+    return f"(cast({h} as double) / 4294967296.0 * {LON_SPAN} - {LON_SPAN / 2})"
+
+
+def cell_y_expr(lat: str = "lat") -> str:
+    return f"cast(floor(({lat} + 90.0) * {CELLS_PER_DEG}) as bigint)"
+
+
+def cell_x_expr(lon: str = "lon") -> str:
+    return f"cast(floor(({lon} + 180.0) * {CELLS_PER_DEG}) as bigint)"
+
+
+def cell_id_expr(lat: str = "lat", lon: str = "lon") -> str:
+    return f"({cell_y_expr(lat)} * {LON_CELL_STRIDE} + {cell_x_expr(lon)})"
+
+
+def cell_id_from_xy(cell_x: str = "cell_x", cell_y: str = "cell_y") -> str:
+    return f"({cell_y} * {LON_CELL_STRIDE} + {cell_x})"
+
+
+# ---------------------------------------------------------------------------
+# quadkey tile id (oracle form of the PIP tile assignment)
+# ---------------------------------------------------------------------------
+
+def quadkey_expr(dialect: str, lat: str = "lat", lon: str = "lon",
+                 depth: int = TILE_DEPTH) -> str:
+    """Tile id 'q' + depth quadrant digits. Digit at level l in 0..3 =
+    2*y_bit + x_bit of the normalized coords at 2^l resolution. Matches the
+    engine's rectangle PIP with closed-lower/open-upper bounds."""
+    tx = f"(({lon} + 180.0) / 360.0)"
+    ty = f"(({lat} + 90.0) / 180.0)"
+    digits = []
+    for lvl in range(1, depth + 1):
+        scale = float(1 << lvl)
+        d = (f"(cast(floor({ty} * {scale}) as bigint) % 2) * 2"
+             f" + (cast(floor({tx} * {scale}) as bigint) % 2)")
+        digits.append(_str(f"({d})", dialect))
+    if dialect == SPARK:
+        return "concat('q', " + ", ".join(digits) + ")"
+    return "('q' || " + " || ".join(digits) + ")"
+
+
+# ---------------------------------------------------------------------------
+# flags bit algebra (bitmask analogue, reference lib/filter_scene.py:39-48)
+# ---------------------------------------------------------------------------
+
+BIT_EDGE, BIT_WATER, BIT_CLOUD = 0, 1, 2
+
+
+def tokens_expr(dialect: str, text: str = "text") -> str:
+    if dialect == SPARK:
+        return f"split({text}, ' ')"
+    return f"string_split({text}, ' ')"
+
+
+def n_tokens_expr(dialect: str, text: str = "text") -> str:
+    if dialect == SPARK:
+        return f"size({tokens_expr(dialect, text)})"
+    return f"len({tokens_expr(dialect, text)})"
+
+
+def n_unique_tokens_expr(dialect: str, text: str = "text") -> str:
+    if dialect == SPARK:
+        return f"size(array_distinct({tokens_expr(dialect, text)}))"
+    return f"len(list_distinct({tokens_expr(dialect, text)}))"
+
+
+def geo_ctes(dialect: str, documents: str = "documents") -> str:
+    """WITH-clause body chaining pages -> geo -> cells, shared by every
+    oracle query. Usage: f"WITH {geo_ctes(DUCKDB)} SELECT ... FROM cells"."""
+    return f"""
+    pages AS ({pages_cte(dialect, documents)}),
+    geo AS (
+      SELECT url, group_id, doc_id, warc_epoch, text, lang, n_chars,
+             {lat_expr(dialect)} AS lat,
+             {lon_expr(dialect)} AS lon
+      FROM pages
+    ),
+    cells AS (
+      SELECT *,
+             {cell_x_expr()} AS cell_x,
+             {cell_y_expr()} AS cell_y,
+             {cell_id_expr()} AS cell
+      FROM geo
+    )
+    """
+
+
+def ring_offsets_values(ring: int = 1) -> str:
+    """VALUES list for the k-ring offsets CTE: offs(dx, dy)."""
+    vals = ", ".join(
+        f"({dx}, {dy})"
+        for dy in range(-ring, ring + 1) for dx in range(-ring, ring + 1)
+    )
+    return f"offs(dx, dy) AS (VALUES {vals})"
+
+
+def flags_expr(dialect: str, text: str = "text", n_chars: str = "n_chars") -> str:
+    """EDGE bit0: short page; WATER bit1: low lexical diversity (entropy<thr
+    analogue, lib/filter_scene.py:1349-1390); CLOUD bit2: oversized page
+    (density-predicate analogue, lib/filter_scene.py:1508-1556).
+    Integer-only comparisons for exact cross-engine parity."""
+    nt = n_tokens_expr(dialect, text)
+    nu = n_unique_tokens_expr(dialect, text)
+    edge = f"(CASE WHEN {n_chars} < 200 THEN 1 ELSE 0 END)"
+    water = f"(CASE WHEN {nu} * 100 < {nt} * 55 THEN 2 ELSE 0 END)"
+    cloud = f"(CASE WHEN {n_chars} > 400 THEN 4 ELSE 0 END)"
+    return f"cast({edge} + {water} + {cloud} as int)"
