@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from setsm_postprocessing_python_spark.plans import queries as Q
+from setsm_postprocessing_python_spark.plans import queries_ext as QX
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -21,8 +22,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(Q.QUERIES)
+    return {**Q.QUERIES, **QX.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(Q.ORACLES)
+    return {**Q.ORACLES, **QX.ORACLES}

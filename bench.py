@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": "...", "value": <end-to-end sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+Default: run headline queries once at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+--scaling: run the same workload in two fresh JVMs at local[8] (N) and
+local[32] (4N) and report throughput at both + scaling efficiency
+eff = (T_8 / T_32) / 4 — the sandbox proxy for the north rule's N vs 4N
+executor gate — and write BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(d: str) -> float:
+    name = Path(d).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def materialize(df) -> int:
+    """Force full execution; count() alone can prune — write to the noop
+    sink (full columnar materialization, no output cost)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def headline_queries():
+    from setsm_postprocessing_python_spark.plans import queries as Q
+
+    return {
+        "tile_counts": Q.q_tile_counts,     # geocode + tile assign + rollup
+        "tile_assign_pip": Q.q_tile_assign, # pandas-UDF PIP path
+        "knn": Q.q_knn,                     # k-ring expansion join + top-k
+        "ring_density": Q.q_ring_density,   # two-stage neighborhood agg
+        "mask_filter": Q.q_mask_filter,     # flags algebra + group census
+        "dedup_exact": Q.q_dedup_exact,     # hash groupBy dedup
+    }
+
+
+def run_bench(parallelism: int, sf_dir: str) -> dict:
+    from setsm_postprocessing_python_spark.session import get_spark
+
+    spark = get_spark(parallelism=parallelism, app_name=f"bench[{parallelism}]")
+    n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    qs = headline_queries()
+    times: dict[str, float] = {}
+    t_all = time.time()
+    for name, fn in qs.items():
+        t = time.time()
+        materialize(fn(spark, sf_dir))
+        times[name] = round(time.time() - t, 3)
+    total = round(time.time() - t_all, 3)
+    spark.stop()
+    return {
+        "metric": "tile-assign+spatial-join end-to-end wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(sf_dir),
+        "parallelism": parallelism,
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages * len(qs) / total, 1),
+    }
+
+
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "4000000"))
+# N vs 4N parallelism proxy. This VM advertises 32 vCPUs but measured
+# pure-CPU throughput (multiprocessing burn test) is linear only to ~16
+# workers (thpt: 8 procs -> 7.7 u/s, 16 -> 13.6, 32 -> 19.5): the
+# hypervisor throttles above ~16 runnable threads. 2 vs 8 stays deep in
+# the linear region, so cores are the only variable being measured.
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+SCALE_4N = 4 * SCALE_N
+# Fixed plan shape for the N-vs-4N comparison: identical input/shuffle
+# partitioning at both parallelism levels so cores are the ONLY variable
+# (AQE partition coalescing is disabled for the A/B — at sandbox data sizes
+# it coalesces small shuffles below the core count and hides scaling; on a
+# real cluster with TB shuffles it never coalesces below parallelism).
+SCALE_INPUT_PARTS = 128
+SCALE_SHUFFLE_PARTS = 64
+
+
+def run_scaling_single(parallelism: int, n_rows: int) -> dict:
+    """Compute-bound scaling workload over deterministic synthetic pages
+    (the sf0.1 parquet is only ~5k rows / 1 input split — too small to
+    measure parallel scaling; the north rule's input is 10^12 rows)."""
+    import pyspark.sql.functions as F
+
+    from setsm_postprocessing_python_spark.operators import flags as OF
+    from setsm_postprocessing_python_spark.operators import knn as OK
+    from setsm_postprocessing_python_spark.operators import neighborhood as ON
+    from setsm_postprocessing_python_spark.operators import tiles as OT
+    from setsm_postprocessing_python_spark.session import get_spark
+    from setsm_postprocessing_python_spark.sources.datagen import synthetic_pages
+
+    spark = get_spark(
+        parallelism=parallelism, app_name=f"scale[{parallelism}]",
+        shuffle_partitions=SCALE_SHUFFLE_PARTS,
+        extra_conf={
+            # fixed physical plan for a clean A/B: no runtime re-planning
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        })
+    df = synthetic_pages(spark, n_rows, partitions=SCALE_INPUT_PARTS)
+    df = df.persist()
+    df.count()  # materialize once so stages time pure operator work
+    tiles = OT.fixed_depth_tiles()
+    stages = {
+        "tile_assign_pip": lambda: OT.assign_tiles_pip(df, tiles)
+            .select("url", "tile_id"),
+        "tile_counts": lambda: OT.assign_tiles_quadkey(df)
+            .groupBy("tile_id").agg(F.count(F.lit(1)).alias("n_pages"),
+                                    F.countDistinct("group_id").alias("n_hosts")),
+        "knn": lambda: OK.knn_join_blocked(df, k=3, ring=1),
+        "ring_density": lambda: ON.ring_density(df, ring=1),
+        "flags_census": lambda: OF.unset_bits(OF.with_flags(df), nowater=True)
+            .groupBy("group_id").agg(F.expr("bit_or(flags)").alias("fm"),
+                                     F.count(F.lit(1)).alias("n")),
+    }
+    times = {}
+    for name, fn in stages.items():
+        materialize(fn())  # warmup: codegen compile + JIT, not measured
+        best = float("inf")
+        for _ in range(3):  # min of 3: host-noise robustness
+            t = time.time()
+            materialize(fn())
+            best = min(best, time.time() - t)
+        times[name] = round(best, 3)
+    total = round(sum(times.values()), 3)
+    spark.stop()
+    return {"value": total, "queries": times, "pages": n_rows,
+            "pages_per_sec": round(n_rows * len(stages) / total, 1),
+            "parallelism": parallelism}
+
+
+def run_scaling(sf_dir: str) -> None:
+    """local[N] vs local[4N] in fresh JVMs; writes BENCH/BASELINE.md."""
+    results = {}
+    for par in (SCALE_N, SCALE_4N):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scale-single", str(par)],
+            capture_output=True, text=True, timeout=3600,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[par] = json.loads(line)
+    t_n, t_4n = results[SCALE_N]["value"], results[SCALE_4N]["value"]
+    eff = (t_n / t_4n) / 4.0
+    md = ["# BENCH — measured baseline (sandbox)", "",
+          f"Input: {results[SCALE_4N]['pages']} deterministic synthetic pages"
+          " (sources/datagen.py, seed 42), same input, identical partitioning"
+          f" (ip={SCALE_INPUT_PARTS}, sp={SCALE_SHUFFLE_PARTS}) at both",
+          "parallelism levels (fresh JVM each); per-stage time = min of 3 reps.",
+          "", "N vs 4N proxy per BASELINE.md §2: this VM advertises 32 vCPUs",
+          "but measured pure-CPU throughput (multiprocessing burn test) is",
+          "linear only to ~16 workers (8 procs -> 7.7 u/s, 16 -> 13.6,",
+          "32 -> 19.5 — hypervisor throttling above ~16 runnable threads),",
+          f"so the honest in-capacity pair is local[{SCALE_N}] vs"
+          f" local[{SCALE_4N}]. Each stage gets one unmeasured warmup run",
+          "(codegen/JIT compile) before the measured reps.", "",
+          "| parallelism | sum-of-stages (s) | pages/sec | per-stage (s) |",
+          "|---|---|---|---|"]
+    for par in (SCALE_N, SCALE_4N):
+        r = results[par]
+        md.append(f"| local[{par}] | {r['value']} | {r['pages_per_sec']} | "
+                  f"{json.dumps(r['queries'])} |")
+    md += ["", f"**Scaling efficiency (T_N/T_4N)/4 = {eff:.3f}** "
+           f"(gate: >= 0.8; single-JVM local mode shares one driver and one"
+           f" OS page cache, so this is a conservative proxy for"
+           f" multi-executor scaling).",
+           "",
+           "Shuffle I/O note: the default bypass-merge shuffle writer",
+           "(numPartitions files per map task) serializes on this host's",
+           "single volume and made local[32] run 4.7x SLOWER than local[8]",
+           "on a plain 20M-row groupBy. session.get_spark forces the",
+           "sort-based writer + tmpfs local dirs + stream IO, which",
+           "restored flat-to-linear behavior (see session.py)."]
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "BASELINE.md").write_text("\n".join(md) + "\n")
+    print(json.dumps({
+        "metric": f"scaling efficiency local[{SCALE_N}]->local[{SCALE_4N}]",
+        "value": eff, "unit": "ratio",
+        "t_n": t_n, "t_4n": t_4n,
+        "queries": results[SCALE_4N]["queries"], "sf": _sf_from_dir(sf_dir),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling(SF_DIR)
+    elif "--scale-single" in sys.argv:
+        par = int(sys.argv[sys.argv.index("--scale-single") + 1])
+        print(json.dumps(run_scaling_single(par, SCALE_ROWS)))
+    elif "--single" in sys.argv:
+        par = int(sys.argv[sys.argv.index("--single") + 1])
+        print(json.dumps(run_bench(par, SF_DIR)))
+    else:
+        print(json.dumps(run_bench(CPUS, SF_DIR)))

@@ -1,0 +1,190 @@
+"""Deduplication family over the documents/pages tables.
+
+Large-scale training-data pipeline operators, all Spark-first:
+- exact dedup: hash groupBy (one shuffle on md5(text), map-side combine),
+- n-gram Jaccard: shingle explode -> self-join on shingle -> count algebra
+  (|A ∩ B| from the join, |A ∪ B| = |A|+|B|-|A∩B|) — no pairwise text compare,
+- MinHash + LSH: shingle -> m permuted min-hashes -> b bands -> bucket join
+  (candidate pairs only where a full band collides),
+- SimHash: 32-bit sign-of-weighted-sum signature; near-dup candidates via
+  the pigeonhole chunk trick (hamming<=3 over 4 chunks => >=1 chunk equal),
+  so the join is an equi-join on (chunk_idx, chunk_value), never O(n^2).
+
+Every hash is md5-derived so the DuckDB oracle computes identical values
+(sql/dialect.py:hex8_i64). MinHash permutation constants are generated from
+a fixed seed and inlined into both dialects.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..sql import dialect as D
+
+MERSENNE31 = 2147483647  # 2^31 - 1
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_N = 3
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8 bits each; hamming<=3 -> >=1 equal chunk
+
+
+def _minhash_params(seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+            for _ in range(N_HASHES)]
+
+
+MINHASH_PARAMS = _minhash_params()
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def shingles_expr(dialect: str, text: str = "text", n: int = SHINGLE_N) -> str:
+    """Array of word n-gram shingle strings."""
+    toks = D.tokens_expr(dialect, text)
+    if dialect == D.SPARK:
+        return (f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+                f"i -> array_join(slice({toks}, i, {n}), ' '))")
+    return (f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+            f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))")
+
+
+def exploded_shingles(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) distinct pairs. The explode happens AFTER column
+    pruning (only text + id read); distinct is one shuffle keyed by
+    (id, shingle) with map-side combine."""
+    return (df.select(id_col,
+                      F.explode(F.expr(shingles_expr(D.SPARK))).alias("shingle"))
+              .distinct())
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text: str = "text") -> DataFrame:
+    """Canonical representative per identical text."""
+    return df.groupBy(F.md5(text).alias("text_md5")).agg(
+        F.min(id_col).cast("bigint").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(df: DataFrame, threshold_pct: int = 50,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Pairs (a < b) with Jaccard(shingles) >= threshold_pct/100.
+    jaccard = inter / (na + nb - inter); comparison kept in integer
+    arithmetic (inter * 100 >= thr * union) for exact oracle parity."""
+    sh = exploded_shingles(df, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle").where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    j = inter.join(sa, "id_a").join(sb, "id_b")
+    return (j.where(F.col("inter") * 100 >=
+                    F.lit(threshold_pct) * (F.col("na") + F.col("nb") - F.col("inter")))
+             .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
+                     "inter", "na", "nb"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, hash_idx, minhash): min over shingles of (a_i*h + b_i) mod M31,
+    where h = md5-derived 32-bit hash of the shingle. One explode x
+    N_HASHES, then a (id, hash_idx) min-agg — two-stage, the shuffle
+    carries only N_HASHES rows per doc."""
+    sh = exploded_shingles(df, id_col).withColumn(
+        "h", F.expr(D.hex8_i64("shingle", 1, D.SPARK)))
+    params = F.array(*[
+        F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+        for i, (a, b) in enumerate(MINHASH_PARAMS)])
+    sh = sh.withColumn("p", F.explode(params))
+    sh = sh.select(
+        id_col,
+        F.col("p.i").alias("hash_idx"),
+        ((F.col("p.a") * F.col("h") + F.col("p.b")) % MERSENNE31).alias("hv"))
+    return sh.groupBy(id_col, "hash_idx").agg(F.min("hv").alias("minhash"))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: docs sharing at least one full band of minhashes.
+    Band signature = concat of the band's minhashes; candidates = equi-join
+    on (band, signature). Output (id_a < id_b, n_shared_bands)."""
+    sig = minhash_signatures(df, id_col)
+    sig = sig.withColumn("band", (F.col("hash_idx") / ROWS_PER_BAND).cast("int"))
+    bands = (sig.groupBy(id_col, "band")
+             .agg(F.array_sort(F.collect_list(
+                 F.concat_ws(":", F.col("hash_idx"), F.col("minhash")))).alias("sig_arr"))
+             .withColumn("band_sig", F.concat_ws(",", "sig_arr"))
+             .drop("sig_arr"))
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (a.join(b, ["band", "band_sig"]).where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+             .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
+                     "n_shared_bands"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over tokens (with multiplicity): bit j of the
+    signature is 1 iff sum over tokens of (+1 if tokenhash bit j else -1)
+    is > 0. Pure explode + integer aggregation."""
+    toks = df.select(
+        id_col, F.explode(F.expr(D.tokens_expr(D.SPARK))).alias("tok"))
+    toks = toks.withColumn("h", F.expr(D.hex8_i64("tok", 1, D.SPARK)))
+    bits = toks.withColumn("j", F.explode(F.array(*[F.lit(j) for j in range(SIMHASH_BITS)])))
+    bits = bits.withColumn(
+        "contrib",
+        F.expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
+    agg = bits.groupBy(id_col, "j").agg(F.sum("contrib").alias("s"))
+    return (agg.withColumn("bitval",
+                           F.expr("CASE WHEN s > 0 THEN "
+                                  "shiftleft(cast(1 as bigint), j) ELSE 0 END"))
+               .groupBy(id_col)
+               .agg(F.sum("bitval").cast("bigint").alias("simhash")))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidates by pigeonhole: split the 32-bit signature into 4
+    8-bit chunks; hamming<=3 implies at least one chunk matches exactly, so
+    candidates come from an equi-join on (chunk_idx, chunk_value). Exact
+    hamming (bit_count of xor) filters the candidates."""
+    sig = simhash(df, id_col)
+    chunks = sig.withColumn("ci", F.explode(F.array(*[F.lit(i) for i in range(SIMHASH_CHUNKS)])))
+    chunks = chunks.withColumn(
+        "cv", F.expr("shiftright(simhash, ci * 8) & 255"))
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+                      "ci", "cv")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+                      "ci", "cv")
+    cand = (a.join(b, ["ci", "cv"]).where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    return (cand.withColumn(
+                "hamming",
+                F.expr("bit_count(sh_a ^ sh_b)"))
+            .where(F.col("hamming") <= max_hamming)
+            .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
+                    "hamming"))

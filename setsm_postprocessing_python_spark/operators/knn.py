@@ -49,6 +49,57 @@ def kring_expand(df: DataFrame, ring: int = 1,
     )
 
 
+BLOCK_SHIFT = 6  # 64x64-cell join blocks for the halo strategy
+
+
+def knn_join_blocked(df: DataFrame, k: int = 3, ring: int = 1) -> DataFrame:
+    """Scale path: identical semantics to knn_join, but the join key is a
+    64x64-cell block and only pages within `ring` cells of a block edge are
+    duplicated into the adjacent block (halo duplication — the engine
+    analogue of the reference's interpolation pad, lib/scenes2strips.py:
+    316-326). Data expansion is ~(1 + 4*ring/64) ≈ 1.06x instead of the
+    naive (2r+1)^2 = 9x k-ring explode; the shuffle moves ~8.5x fewer
+    bytes. Ring membership is re-checked exactly after the block join."""
+    sel = df.select(
+        "url", "lat", "lon", "cell_x", "cell_y",
+        F.shiftright("cell_x", BLOCK_SHIFT).alias("bx"),
+        F.shiftright("cell_y", BLOCK_SHIFT).alias("by"),
+    )
+    a = sel.select(
+        F.col("url").alias("url_a"), F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.col("cell_x").alias("xa"), F.col("cell_y").alias("ya"),
+        (F.col("by") * 2048 + F.col("bx")).alias("block"),
+    )
+    # build side: replicate to the <=4 blocks its ring can reach
+    cand_blocks = F.array_distinct(F.array(*[
+        (F.shiftright(F.col("cell_y") + dy, BLOCK_SHIFT) * 2048
+         + F.shiftright(F.col("cell_x") + dx, BLOCK_SHIFT))
+        for dx in (-ring, ring) for dy in (-ring, ring)
+    ] + [(F.col("by") * 2048 + F.col("bx"))]))
+    b = sel.select(
+        F.col("url").alias("url_b"), F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cell_x").alias("xb"), F.col("cell_y").alias("yb"),
+        F.explode(cand_blocks).alias("block"),
+    )
+    j = (a.join(b, "block")
+          .where((F.col("url_a") != F.col("url_b"))
+                 & (F.abs(F.col("xa") - F.col("xb")) <= ring)
+                 & (F.abs(F.col("ya") - F.col("yb")) <= ring)))
+    j = j.withColumn(
+        "dist2",
+        (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+        + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b")),
+    )
+    w = Window.partitionBy("url_a").orderBy(F.col("dist2").asc(), F.col("url_b").asc())
+    return (j.withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= k)
+             .select("url_a", "url_b",
+                     (F.col("ya") * F.lit(D.LON_CELL_STRIDE) + F.col("xa")).alias("cell"),
+                     "dist2", "rank"))
+
+
 def knn_join(df: DataFrame, k: int = 3, ring: int = 1) -> DataFrame:
     """For each page, the k nearest other pages whose cell is within the
     k-ring. Output: url_a, url_b, cell (of a), dist2 (squared degrees),

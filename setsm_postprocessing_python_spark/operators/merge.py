@@ -1,0 +1,289 @@
+"""Strip assembly operators: greedy merge ordering, coregistration,
+feather blend — the scenes2strips core recast to page groups.
+
+Reference semantics reproduced (citations into /root/reference):
+- orderPairs (lib/scenes2strips.py:921-997): aspect-ratio direction sort,
+  greedy max-overlap-area selection, first-scene anti-domination (>=90 %
+  covered -> reselect, :960-967), zero-overlap segment break (:990-992).
+- redundancy gate (lib/scenes2strips.py:293-312): member adding less than
+  add_min_area new footprint area is skipped.
+- coregisterdems (lib/scenes2strips.py:720-918): iterative plane-fit
+  alignment with 3-sigma outlier gate, <=5 iterations, stop when RMSE
+  improves by <=0.001, offset cap.
+- feather blend (lib/scenes2strips.py:400-476, 633-692): linear weight
+  across the overlap span, rescaled clip((w-0.25)/(0.55-0.25), 0, 1);
+  OR-combine for matchtag, bit_or for masks.
+
+Execution shape: ordering and coregistration are per-group sequential folds
+(bounded group sizes) inside applyInPandas / cogrouped applyInPandas tasks —
+exactly the reference's per-strip process boundary recast as Spark tasks;
+the feather blend is pure DataFrame algebra (JVM, oracle-checkable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..sql import dialect as D
+
+ADD_MIN_AREA_FRAC = 0.05   # member must add >=5 % of its own area (redundancy gate)
+DOMINATION_FRAC = 0.90     # first-scene reselect threshold (:960-967)
+COREG_MAX_ITER = 5         # lib/scenes2strips.py:724
+COREG_RMSE_EPS = 1e-3
+COREG_MAX_OFFSET = 15.0
+
+
+# ---------------------------------------------------------------------------
+# member footprints (the scene-raster extent analogue)
+# ---------------------------------------------------------------------------
+
+def with_footprint(df: DataFrame) -> DataFrame:
+    """Deterministic rectangle footprint per page: centered at (lat, lon),
+    half-size grows with page size (bigger page = bigger raster extent)."""
+    half_w = F.lit(0.5) + (F.col("n_chars") % 97).cast("double") / F.lit(97.0)
+    half_h = F.lit(0.5) + (F.col("n_chars") % 89).cast("double") / F.lit(89.0)
+    return (df.withColumn("fx0", F.col("lon") - half_w)
+              .withColumn("fx1", F.col("lon") + half_w)
+              .withColumn("fy0", F.col("lat") - half_h)
+              .withColumn("fy1", F.col("lat") + half_h))
+
+
+def _rect_area(r) -> float:
+    return max(0.0, r[1] - r[0]) * max(0.0, r[3] - r[2])
+
+
+def _rect_intersect(a, b):
+    return (max(a[0], b[0]), min(a[1], b[1]), max(a[2], b[2]), min(a[3], b[3]))
+
+
+def _rect_union_bounds(a, b):
+    """rectFootprint: bounding rect of the union (lib/scenes2strips.py:1000-1027)."""
+    return (min(a[0], b[0]), max(a[1], b[1]), min(a[2], b[2]), max(a[3], b[3]))
+
+
+# ---------------------------------------------------------------------------
+# greedy merge ordering (orderPairs)
+# ---------------------------------------------------------------------------
+
+MERGE_ORDER_SCHEMA = ("group_id string, url string, order_idx int, "
+                      "segment_num int, is_redundant boolean")
+
+
+def _order_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic greedy fold for one group. Mirrors orderPairs:
+    1) direction sort by union-bbox aspect ratio (S->N if tall else W->E),
+    2) first-member anti-domination: while the directionally-first member is
+       >=90 % covered by any single other member, demote it,
+    3) repeat: pick remaining member with max intersection area with the
+       accumulated bounding-rect footprint (tie-break url); zero overlap ->
+       segment break, restart from directionally-first remaining,
+    4) redundancy: member adding < ADD_MIN_AREA_FRAC of its own area to the
+       running union is marked redundant and excluded from the mosaic."""
+    pdf = pdf.sort_values("url", ignore_index=True)
+    rects = {r.url: (r.fx0, r.fx1, r.fy0, r.fy1) for r in pdf.itertuples()}
+    urls = list(pdf["url"])
+    gx0 = min(r[0] for r in rects.values()); gx1 = max(r[1] for r in rects.values())
+    gy0 = min(r[2] for r in rects.values()); gy1 = max(r[3] for r in rects.values())
+    tall = (gy1 - gy0) >= (gx1 - gx0)
+    if tall:
+        urls.sort(key=lambda u: (rects[u][2], u))   # S -> N by ymin
+    else:
+        urls.sort(key=lambda u: (rects[u][0], u))   # W -> E by xmin
+
+    # first-member anti-domination (:960-967)
+    demoted = 0
+    while demoted < len(urls) - 1:
+        first = rects[urls[0]]
+        a_first = _rect_area(first)
+        covered = any(
+            _rect_area(_rect_intersect(first, rects[u])) >= DOMINATION_FRAC * a_first
+            for u in urls[1:]
+        )
+        if not covered or a_first == 0.0:
+            break
+        urls.append(urls.pop(0))
+        demoted += 1
+
+    out = []
+    remaining = list(urls)
+    segment = 0
+    order_idx = 0
+    current = None  # accumulated bounding-rect footprint
+    union_members: list = []
+    while remaining:
+        if current is None:
+            pick = remaining[0]  # directionally-first remaining
+        else:
+            best, pick = -1.0, None
+            for u in remaining:
+                a = _rect_area(_rect_intersect(current, rects[u]))
+                if a > best or (a == best and (pick is None or u < pick)):
+                    best, pick = a, u
+            if best <= 0.0:  # zero overlap -> segment break (:990-992)
+                segment += 1
+                current = None
+                continue
+        remaining.remove(pick)
+        r = rects[pick]
+        if current is not None:
+            inter_with_members = max(
+                (_rect_area(_rect_intersect(r, rects[m])) for m in union_members),
+                default=0.0)
+            added = _rect_area(r) - inter_with_members
+            if added < ADD_MIN_AREA_FRAC * _rect_area(r):
+                out.append((pick, -1, segment, True))  # redundant, skipped
+                continue
+            current = _rect_union_bounds(current, r)
+        else:
+            current = r
+        union_members.append(pick)
+        out.append((pick, order_idx, segment, False))
+        order_idx += 1
+
+    gid = pdf["group_id"].iloc[0]
+    return pd.DataFrame(
+        [(gid, u, oi, seg, red) for (u, oi, seg, red) in out],
+        columns=["group_id", "url", "order_idx", "segment_num", "is_redundant"],
+    )
+
+
+def merge_order(df: DataFrame) -> DataFrame:
+    """Per-group greedy merge ordering. df must carry footprints
+    (with_footprint). Groups are bounded (dozens-hundreds of members), so
+    the inherently-sequential greedy fold runs inside one task per group —
+    the reference's one non-parallel loop, contained."""
+    cols = df.select("group_id", "url", "fx0", "fx1", "fy0", "fy1")
+    return cols.groupBy("group_id").applyInPandas(_order_group, MERGE_ORDER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# coregistration analogue (coregisterdems)
+# ---------------------------------------------------------------------------
+
+COREG_SCHEMA = ("group_a string, group_b string, n_points int, iters int, "
+                "dz double, dx double, dy double, rmse double, status string")
+
+
+def _coregister(key, a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+    """Nuth-Kaab-style iterative plane fit of the per-block value offset
+    between two groups over their shared coarse blocks. Semantics per
+    lib/scenes2strips.py:720-918: 3-sigma outlier gate around the median,
+    LSQ on [1, x, y], <=5 iters, stop when RMSE stops improving by >1e-3,
+    fail -> median fallback; offset cap 15 -> 'failed' status."""
+    ga = a["group_id"].iloc[0] if len(a) else None
+    gb = b["group_id_b"].iloc[0] if len(b) else None
+    pair = key[0]
+    za = a.groupby("block").agg(z=("z", "mean"), x=("bx", "first"), y=("by", "first"))
+    zb = b.groupby("block_b").agg(z=("z_b", "mean"))
+    m = za.join(zb, how="inner", lsuffix="_a", rsuffix="_b")
+    empty = pd.DataFrame([{
+        "group_a": ga or pair, "group_b": gb or pair, "n_points": int(len(m)),
+        "iters": 0, "dz": np.nan, "dx": np.nan, "dy": np.nan,
+        "rmse": np.nan, "status": "no_overlap"}])
+    if len(m) < 10:  # >=10 regression points gate (lib/scenes2strips.py:823)
+        return empty
+    dz = (m["z_b"] - m["z_a"]).to_numpy()
+    x = m["x"].to_numpy(dtype=float)
+    y = m["y"].to_numpy(dtype=float)
+    params = np.array([np.nan, 0.0, 0.0])
+    best_rmse = np.inf
+    iters = 0
+    for it in range(COREG_MAX_ITER):
+        iters = it + 1
+        med, sd = np.median(dz), np.std(dz)
+        keep = np.abs(dz - med) <= 3 * sd + 1e-12
+        if keep.sum() < 10:
+            return empty.assign(status="too_few_inliers", iters=iters)
+        A = np.column_stack([np.ones(keep.sum()), x[keep], y[keep]])
+        sol, *_ = np.linalg.lstsq(A, dz[keep], rcond=None)
+        resid = dz[keep] - A @ sol
+        rmse = float(np.sqrt(np.mean(resid ** 2)))
+        if best_rmse - rmse <= COREG_RMSE_EPS and it > 0:
+            break
+        best_rmse = rmse
+        params = sol
+    if max(abs(params[1]), abs(params[2])) > COREG_MAX_OFFSET:
+        # max-offset fallback: median dz only (reference fallback behavior)
+        return pd.DataFrame([{
+            "group_a": ga, "group_b": gb, "n_points": int(len(m)), "iters": iters,
+            "dz": float(np.median(dz)), "dx": 0.0, "dy": 0.0,
+            "rmse": best_rmse, "status": "offset_capped"}])
+    return pd.DataFrame([{
+        "group_a": ga, "group_b": gb, "n_points": int(len(m)), "iters": iters,
+        "dz": float(params[0]), "dx": float(params[1]), "dy": float(params[2]),
+        "rmse": best_rmse, "status": "ok"}])
+
+
+def coregister_pairs(df: DataFrame, pair_of) -> DataFrame:
+    """Cogrouped coregistration: pair_of(group_id_col) -> pair key expr.
+    df needs (group_id, url, lat, lon, cell_x, cell_y). Adds z + coarse
+    blocks, cogroups the two sides of each pair, fits the alignment."""
+    base = (df.withColumn("z", F.expr(D.z_expr(D.SPARK)))
+              .withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
+              .withColumn("by", F.expr(D.block_y_expr(D.SPARK)))
+              .withColumn("block", F.expr(D.block_id_expr(D.SPARK)))
+              .withColumn("pair", pair_of(F.col("group_id")))
+              .select("pair", "group_id", "z", "bx", "by", "block"))
+    side_a = base.where(F.expr("pmod(cast(substring(group_id, 5) as int), 2) = 0"))
+    # NB: the right side's columns are renamed — with identical attribute
+    # names from shared lineage, Catalyst prunes the right cogroup frame
+    # down to the key column (observed on Spark 4.1; see tests)
+    side_b = (base.where(F.expr("pmod(cast(substring(group_id, 5) as int), 2) = 1"))
+              .select("pair", F.col("group_id").alias("group_id_b"),
+                      F.col("z").alias("z_b"), F.col("block").alias("block_b")))
+    return (side_a.groupBy("pair")
+            .cogroup(side_b.groupBy("pair"))
+            .applyInPandas(_coregister, COREG_SCHEMA))
+
+
+def host_pair(col):
+    """Pair host{2i} with host{2i+1} (the strip-pair analogue)."""
+    return F.concat(F.lit("pair"),
+                    F.floor(F.expr("cast(substring(group_id, 5) as int)") / 2).cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# feather blend (oracle-checkable DataFrame algebra)
+# ---------------------------------------------------------------------------
+
+def feather_blend(df: DataFrame) -> DataFrame:
+    """Blend the two sides of each host pair over shared coarse blocks with
+    a linear feather weight across the overlap's x-span, rescaled
+    clip((w - 0.25) / (0.55 - 0.25), 0, 1) per lib/scenes2strips.py:461-476;
+    value blend w*zA + (1-w)*zB (:634-692), presence OR, flags bit_or.
+
+    Pure JVM expressions: per-side per-block partial aggs, one equi-join on
+    (pair, block), window min/max for the span — no Python in the path."""
+    base = (df.withColumn("z", F.expr(D.z_expr(D.SPARK)))
+              .withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
+              .withColumn("block", F.expr(D.block_id_expr(D.SPARK)))
+              .withColumn("hostnum", F.expr("cast(substring(group_id, 5) as int)"))
+              .withColumn("pair", F.expr("cast(floor(cast(substring(group_id, 5) as int) / 2) as bigint)")))
+    agg = base.groupBy("pair", "block", "bx", (F.col("hostnum") % 2).alias("side")).agg(
+        F.sum("z").alias("sz"), F.count(F.lit(1)).alias("n"),
+        F.expr("bit_or(flags)").alias("fl"))
+    a = agg.where("side = 0").select("pair", "block", "bx",
+                                     F.col("sz").alias("sza"), F.col("n").alias("na"),
+                                     F.col("fl").alias("fla"))
+    b = agg.where("side = 1").select("pair", "block",
+                                     F.col("sz").alias("szb"), F.col("n").alias("nb"),
+                                     F.col("fl").alias("flb"))
+    j = a.join(b, ["pair", "block"], "inner")
+    from pyspark.sql import Window
+    w = Window.partitionBy("pair")
+    span0 = F.min("bx").over(w)
+    span1 = F.max("bx").over(w)
+    raw = (F.col("bx") - span0).cast("double") / \
+          F.greatest((span1 - span0).cast("double"), F.lit(1.0))
+    wgt = F.least(F.greatest((raw - 0.25) / (0.55 - 0.25), F.lit(0.0)), F.lit(1.0))
+    return j.select(
+        "pair", "block",
+        wgt.alias("w"),
+        (wgt * (F.col("sza") / F.col("na"))
+         + (F.lit(1.0) - wgt) * (F.col("szb") / F.col("nb"))).alias("z_blend"),
+        (F.col("na") + F.col("nb")).alias("n_pages"),
+        F.expr("cast(fla | flb as int)").alias("flags_merged"),
+    )

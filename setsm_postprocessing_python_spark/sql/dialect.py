@@ -172,6 +172,32 @@ def n_unique_tokens_expr(dialect: str, text: str = "text") -> str:
     return f"len(list_distinct({tokens_expr(dialect, text)}))"
 
 
+def z_expr(dialect: str, url: str = "url") -> str:
+    """Deterministic per-page scalar 'elevation' (float), the DEM value
+    analogue: third md5 word of the url, scaled to [0, 100)."""
+    h = hex8_i64(url, 17, dialect)
+    return f"(cast({h} as double) / 4294967296.0 * 100.0)"
+
+
+BLOCK_SHIFT = 12  # coarse processing blocks (the 8 m-resolution analogue)
+
+
+def block_x_expr(dialect: str, cell_x: str = "cell_x") -> str:
+    if dialect == SPARK:
+        return f"shiftright({cell_x}, {BLOCK_SHIFT})"
+    return f"({cell_x} >> {BLOCK_SHIFT})"
+
+
+def block_y_expr(dialect: str, cell_y: str = "cell_y") -> str:
+    if dialect == SPARK:
+        return f"shiftright({cell_y}, {BLOCK_SHIFT})"
+    return f"({cell_y} >> {BLOCK_SHIFT})"
+
+
+def block_id_expr(dialect: str, cell_x: str = "cell_x", cell_y: str = "cell_y") -> str:
+    return f"({block_y_expr(dialect, cell_y)} * 64 + {block_x_expr(dialect, cell_x)})"
+
+
 def geo_ctes(dialect: str, documents: str = "documents") -> str:
     """WITH-clause body chaining pages -> geo -> cells, shared by every
     oracle query. Usage: f"WITH {geo_ctes(DUCKDB)} SELECT ... FROM cells"."""

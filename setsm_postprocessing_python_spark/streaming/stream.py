@@ -1,0 +1,61 @@
+"""Structured Streaming facade over the pages pipeline.
+
+The reference is restart-able batch, not streaming (SURVEY §2.9); these are
+the engine-native incremental equivalents:
+
+- incremental ingest: file-source stream over a pages directory,
+- watermarked URL dedup (late-duplicate suppression within the watermark),
+- tumbling-window crawl-rate aggregation on warc_ts,
+- incremental tile rollup: per-(window, tile) page counts in update mode.
+
+All built-ins (no custom stateful operator needed yet); tested with
+availableNow triggers + memory sinks in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sql import dialect as D
+
+
+def read_pages_stream(spark: SparkSession, src_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of pages parquet (schema must exist at start)."""
+    static = spark.read.parquet(src_dir)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(src_dir)
+
+
+def dedup_urls(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Drop duplicate urls arriving within the watermark window — bounded
+    state (url keys expire past the watermark)."""
+    return (stream.withWatermark("warc_ts", watermark)
+                  .dropDuplicatesWithinWatermark(["url"]))
+
+
+def crawl_rate(stream: DataFrame, window: str = "10 minutes",
+               watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-window pages/lang counts (late rows within watermark fold
+    into their window; later ones are dropped)."""
+    return (stream.withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+            .agg(F.count(F.lit(1)).alias("n_pages"))
+            .select(F.col("w.start").alias("window_start"), "lang", "n_pages"))
+
+
+def incremental_tile_counts(stream: DataFrame, window: str = "10 minutes",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Streaming version of the mosaic-tile rollup: geocode + quadkey tile
+    (stateless projections), then windowed per-tile counts (stateful)."""
+    geo = (stream
+           .withColumn("lat", F.expr(D.lat_expr(D.SPARK)))
+           .withColumn("lon", F.expr(D.lon_expr(D.SPARK)))
+           .withColumn("tile_id", F.expr(D.quadkey_expr(D.SPARK))))
+    return (geo.withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), "tile_id")
+            .agg(F.count(F.lit(1)).alias("n_pages"))
+            .select(F.col("w.start").alias("window_start"), "tile_id", "n_pages"))

@@ -1,0 +1,102 @@
+"""Coregistration LSQ semantics vs numpy oracle; ANN recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from setsm_postprocessing_python_spark.operators.merge import _coregister
+
+
+def _mk(group, blocks, z, bx, by, side="a"):
+    if side == "a":
+        return pd.DataFrame({
+            "pair": ["p0"] * len(blocks), "group_id": [group] * len(blocks),
+            "z": z, "bx": bx, "by": by, "block": blocks,
+        })
+    # right cogroup side carries renamed columns (see operators/merge.py)
+    return pd.DataFrame({
+        "pair": ["p0"] * len(blocks), "group_id_b": [group] * len(blocks),
+        "z_b": z, "block_b": blocks,
+    })
+
+
+def test_coreg_recovers_planar_offset():
+    rng = np.random.default_rng(7)
+    n = 40
+    bx = rng.integers(0, 18, n).astype(float)
+    by = rng.integers(0, 9, n).astype(float)
+    blocks = (by * 64 + bx).astype(int)
+    # ensure unique blocks (per-block mean in the kernel)
+    _, idx = np.unique(blocks, return_index=True)
+    bx, by, blocks = bx[idx], by[idx], blocks[idx]
+    za = rng.normal(50, 5, len(blocks))
+    true = (2.5, 0.3, -0.2)  # dz + dx*x + dy*y
+    zb = za + true[0] + true[1] * bx + true[2] * by
+    a = _mk("host0", blocks, za, bx, by)
+    b = _mk("host1", blocks, zb, bx, by, side="b")
+    out = _coregister(("p0",), a, b).iloc[0]
+    assert out["status"] == "ok"
+    assert abs(out["dz"] - true[0]) < 1e-6
+    assert abs(out["dx"] - true[1]) < 1e-6
+    assert abs(out["dy"] - true[2]) < 1e-6
+    assert out["rmse"] < 1e-9
+
+
+def test_coreg_outlier_gate():
+    rng = np.random.default_rng(8)
+    n = 60
+    bx = np.arange(n, dtype=float) % 18
+    by = np.arange(n, dtype=float) // 18
+    blocks = (by * 64 + bx).astype(int)
+    _, idx = np.unique(blocks, return_index=True)
+    bx, by, blocks = bx[idx], by[idx], blocks[idx]
+    za = rng.normal(50, 1, len(blocks))
+    zb = za + 3.0
+    zb[0] += 500.0  # gross outlier, must be rejected by the 3-sigma gate
+    a = _mk("host0", blocks, za, bx, by)
+    b = _mk("host1", blocks, zb, bx, by, side="b")
+    out = _coregister(("p0",), a, b).iloc[0]
+    assert out["status"] == "ok"
+    assert abs(out["dz"] - 3.0) < 0.5
+
+
+def test_coreg_too_few_points():
+    a = _mk("host0", [1, 2], [1.0, 2.0], [1.0, 2.0], [0.0, 0.0])
+    b = _mk("host1", [1, 2], [1.0, 2.0], [1.0, 2.0], [0.0, 0.0], side="b")
+    out = _coregister(("p0",), a, b).iloc[0]
+    assert out["status"] == "no_overlap"
+    assert np.isnan(out["dz"])
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """LSH top-k must recover most of the true top-k (multiprobe, 8 planes)."""
+    from setsm_postprocessing_python_spark.operators.similarity import (
+        brute_force_topk, lsh_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.vec_id, r.nbr_id)
+             for r in brute_force_topk(emb, k=3).collect()}
+    approx = {(r.vec_id, r.nbr_id)
+              for r in lsh_topk(emb, dim=64, k=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
+
+
+def test_multimodal_plumbing(spark):
+    from setsm_postprocessing_python_spark.operators.multimodal import (
+        attach_media, decode_features, resize_features)
+    from setsm_postprocessing_python_spark.sources.pages import pages
+
+    df = pages(spark, "/root/testdata/sf0.001", with_html=True)
+    media = attach_media(df)
+    feats = decode_features(media, strict=False)
+    rows = feats.limit(5).collect()
+    assert all(len(r.feature) == 16 for r in rows)
+    assert all(abs(sum(r.feature) - 1.0) < 1e-3 for r in rows)
+    pooled = resize_features(feats, out_dim=8).limit(2).collect()
+    assert all(len(r.feature_pooled) == 8 for r in pooled)
+    # strict mode is the marked real-codec integration point
+    with pytest.raises(Exception):
+        decode_features(media, strict=True).limit(1).collect()
