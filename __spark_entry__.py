@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from setsm_postprocessing_python_spark.plans import queries as Q
 from setsm_postprocessing_python_spark.plans import queries_ext as QX
+from setsm_postprocessing_python_spark.plans import queries_ref as QR
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -22,8 +23,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**Q.QUERIES, **QX.QUERIES}
+    return {**Q.QUERIES, **QX.QUERIES, **QR.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**Q.ORACLES, **QX.ORACLES}
+    return {**Q.ORACLES, **QX.ORACLES, **QR.ORACLES}

@@ -1,0 +1,381 @@
+"""Query registry #3: remaining reference operator surface (SURVEY.md §2).
+
+Morphology, strip-diff, QC validation, scalar-function parity, set ops,
+top-k sorts, pyramid rollups — each Spark query with a DuckDB oracle.
+Reference citations in the individual docstrings (files under /root/reference).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators import morphology as MO
+from ..sources import pages as P
+from ..sql import dialect as D
+
+_DD = D.DUCKDB
+
+
+def _with_cells(body: str, extra_ctes: str = "") -> str:
+    extra = f", {extra_ctes}" if extra_ctes else ""
+    return f"WITH {D.geo_ctes(_DD)}{extra} {body}"
+
+
+def _blocks(spark, sf_dir) -> DataFrame:
+    """Occupied coarse blocks as a binary 'raster' (block coords reused as
+    cell coords for the morphology kernels)."""
+    df = P.geocoded_pages(spark, sf_dir)
+    return (df.select(F.expr(D.block_x_expr(D.SPARK)).alias("cell_x"),
+                      F.expr(D.block_y_expr(D.SPARK)).alias("cell_y"))
+            .distinct()
+            .withColumn("cell", F.expr(D.cell_id_from_xy())))
+
+
+_BLOCKS_CTE = (
+    "blocks AS (SELECT DISTINCT (cell_x >> 12) AS bx, (cell_y >> 12) AS by"
+    " FROM cells)")
+
+
+# ---------------------------------------------------------------------------
+# morphology (imdilate/imerode/bwboundaries/range filter)
+# ---------------------------------------------------------------------------
+
+def q_imdilate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary dilation radius 1 (lib/raster_array_tools.py:2270-2403)."""
+    return MO.imdilate(_blocks(spark, sf_dir)).select("cell")
+
+
+def q_imerode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary erosion radius 1 (MATLAB-edge behavior: full-neighborhood)."""
+    return MO.imerode(_blocks(spark, sf_dir)).select("cell")
+
+
+def q_bwboundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-cell boundary: occupied != eroded (lib/raster_array_tools.py:2441-2538)."""
+    return MO.bwboundaries(_blocks(spark, sf_dir)).select("cell")
+
+
+def q_ring_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring max-min range of the z score (max1d-min1d analogue,
+    lib/filter_scene.py:1354-1356) over coarse blocks."""
+    df = (P.geocoded_pages(spark, sf_dir)
+          .withColumn("z", F.expr(D.z_expr(D.SPARK)))
+          .select(F.expr(D.block_x_expr(D.SPARK)).alias("cell_x"),
+                  F.expr(D.block_y_expr(D.SPARK)).alias("cell_y"), "z")
+          .withColumn("cell", F.expr(D.cell_id_from_xy())))
+    out = MO.ring_range_filter(df, "z", ring=1)
+    return out.select("cell", F.round("vrange", 6).alias("vrange"))
+
+
+# ---------------------------------------------------------------------------
+# diff_strips analogue
+# ---------------------------------------------------------------------------
+
+def q_diff_strips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-strip difference + best-window selection (diff_strips.py:118-305):
+    per host pair, per shared coarse block: dz = mean(z_odd) - mean(z_even);
+    the block with the highest combined page count is the best crop window
+    (argmax -> row_number()=1, ties by block id)."""
+    base = (P.geocoded_pages(spark, sf_dir)
+            .withColumn("z", F.expr(D.z_expr(D.SPARK)))
+            .withColumn("block", F.expr(D.block_id_expr(D.SPARK)))
+            .withColumn("hostnum", F.expr("cast(substring(group_id, 5) as int)"))
+            .withColumn("pair", F.expr(
+                "cast(floor(cast(substring(group_id, 5) as int) / 2) as bigint)")))
+    agg = base.groupBy("pair", "block", (F.col("hostnum") % 2).alias("side")).agg(
+        F.sum("z").alias("sz"), F.count(F.lit(1)).alias("n"))
+    a = agg.where("side = 0").select("pair", "block", F.col("sz").alias("sza"),
+                                     F.col("n").alias("na"))
+    b = agg.where("side = 1").select("pair", "block", F.col("sz").alias("szb"),
+                                     F.col("n").alias("nb"))
+    j = a.join(b, ["pair", "block"])
+    w = Window.partitionBy("pair").orderBy(
+        (F.col("na") + F.col("nb")).desc(), F.col("block").asc())
+    return (j.withColumn("win_rank", F.row_number().over(w))
+            .select("pair", "block",
+                    F.round(F.col("szb") / F.col("nb") - F.col("sza") / F.col("na"),
+                            6).alias("dz"),
+                    (F.col("na") + F.col("nb")).alias("n_total"),
+                    (F.col("win_rank") == 1).alias("is_best")))
+
+
+# ---------------------------------------------------------------------------
+# scalar-function parity (quantize / crop / rescale / coalesce / DN2RAD)
+# ---------------------------------------------------------------------------
+
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEM 1/128 quantization (lib/scenes2strips.py:708-711),
+    astype_round_and_crop (lib/raster_array_tools.py:348-421), rescaleDN
+    (lib/filter_scene.py:1778-1809), suffix-priority coalesce
+    (batch_scenes2strips.py:1896-1919)."""
+    df = P.geocoded_pages(spark, sf_dir).withColumn("z", F.expr(D.z_expr(D.SPARK)))
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (F.round(F.col("z") * 128) / 128).alias("z_q"),
+        F.expr("cast(least(greatest(round(z * 2.55), 0.0), 255.0) as int)")
+            .alias("dn_crop"),
+        F.expr("cast(floor(cast(least(greatest(round(z * 2.55), 0.0), 255.0) as int)"
+               " * 1000 / 255) as int)").alias("dn_rescaled"),
+        F.round(F.expr(
+            "coalesce(CASE WHEN n_chars > 600 THEN z END, "
+            "CASE WHEN n_chars > 300 THEN z * 0.5 END, z * 0.25)"), 6)
+            .alias("v_priority"),
+    )
+
+
+DN2RAD_TABLE = [("en", 1.2, 0.5), ("de", 0.9, 0.3), ("fr", 1.1, -0.2),
+                ("es", 1.4, 0.0), ("zh", 0.8, 0.7)]
+
+
+def q_dn2rad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DG_DN2RAD gain/offset lookup by sensor (lib/filter_scene.py:1812-1865)
+    as a broadcast dimension join; 'sensor' stands in as lang."""
+    dim = spark.createDataFrame(DN2RAD_TABLE, "lang string, gain double, ofs double")
+    df = P.pages(spark, sf_dir)
+    out = df.join(F.broadcast(dim), "lang")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.round(F.col("gain") * F.col("n_chars") + F.col("ofs"), 6).alias("rad"))
+
+
+# ---------------------------------------------------------------------------
+# QC checks (batch_check_setsm analogues)
+# ---------------------------------------------------------------------------
+
+def q_valid_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid-range violation report (batch_check_setsm.py:336-341,2123-2160):
+    rows outside the accepted band, with the offending value."""
+    df = P.pages(spark, sf_dir)
+    return (df.where(~F.col("n_chars").between(150, 800))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"), "n_chars",
+                    F.when(F.col("n_chars") < 150, "below_min")
+                     .otherwise("above_max").alias("reason")))
+
+
+def q_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key=value metadata parse + census (readSceneMeta,
+    lib/filter_scene.py:1725-1775; key census batch_check_setsm.py:2269-2317):
+    serialize page fields to a meta string, re-extract typed values by
+    regex, aggregate the census."""
+    df = P.pages(spark, sf_dir).withColumn(
+        "metastr", F.expr("concat('lang=', lang, ';n=', cast(n_chars as string))"))
+    parsed = df.select(
+        F.regexp_extract("metastr", "lang=([a-z]+)", 1).alias("lang_meta"),
+        F.regexp_extract("metastr", "n=([0-9]+)", 1).cast("bigint").alias("n_meta"))
+    return parsed.groupBy("lang_meta").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_meta").cast("bigint").alias("sum_n"))
+
+
+def q_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content checksum per group (gdalinfo -checksum analogue,
+    batch_check_setsm.py:2089-2096): order-insensitive md5-derived sum."""
+    df = P.pages(spark, sf_dir)
+    return df.groupBy("group_id").agg(
+        F.expr(f"cast(sum({D.hex8_i64('text', 1, D.SPARK)}) as bigint)")
+            .alias("checksum"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# set ops / sorts / rollups
+# ---------------------------------------------------------------------------
+
+def q_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining-set difference (remaining -= mosaicked,
+    batch_scenes2strips.py:1438): pages minus the flagged set, per group."""
+    from ..operators.flags import with_flags
+
+    df = with_flags(P.pages(spark, sf_dir))
+    flagged = df.where(F.col("flags") > 0).select("url")
+    remaining = df.join(flagged, "url", "left_anti")
+    return remaining.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_remaining"))
+
+
+def q_version_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-version census per group (collect_set + agreement check,
+    batch_scenes2strips.py:1112-1165): sorted distinct langs as a string."""
+    df = P.pages(spark, sf_dir)
+    return df.groupBy("group_id").agg(
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        F.countDistinct("lang").alias("n_langs"))
+
+
+def q_top_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-5 hosts by page count (greedy argmax / version
+    sort analogues, lib/scenes2strips.py:979-989)."""
+    df = P.pages(spark, sf_dir)
+    counts = df.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_pages"))
+    w = Window.orderBy(F.col("n_pages").desc(), F.col("group_id").asc())
+    return (counts.withColumn("host_rank", F.row_number().over(w))
+            .where(F.col("host_rank") <= 5))
+
+
+def q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level browse pyramid rollup (10m -> 40m chain,
+    batch_scenes2strips.py:1793-1854): per-block counts plus per-superblock
+    (4x coarser) counts in one output."""
+    df = (P.geocoded_pages(spark, sf_dir)
+          .withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
+          .withColumn("by", F.expr(D.block_y_expr(D.SPARK))))
+    fine = df.groupBy("bx", "by").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("block").alias("level"),
+        (F.col("by") * 64 + F.col("bx")).cast("bigint").alias("key"), "n")
+    coarse = (df.withColumn("sx", F.expr("shiftright(bx, 2)"))
+              .withColumn("sy", F.expr("shiftright(by, 2)"))
+              .groupBy("sx", "sy").agg(F.count(F.lit(1)).alias("n"))
+              .select(F.lit("superblock").alias("level"),
+                      (F.col("sy") * 64 + F.col("sx")).cast("bigint").alias("key"),
+                      "n"))
+    return fine.unionByName(coarse)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "q_imdilate": _with_cells(
+        """SELECT DISTINCT (b.by + o.dy) * 131072 + (b.bx + o.dx) AS cell
+           FROM blocks b CROSS JOIN offs o""",
+        extra_ctes=_BLOCKS_CTE + ", " + D.ring_offsets_values(1)),
+    "q_imerode": _with_cells(
+        """SELECT v.cell FROM (
+             SELECT (b.by + o.dy) * 131072 + (b.bx + o.dx) AS cell,
+                    count(*) AS nv
+             FROM blocks b CROSS JOIN offs o GROUP BY 1
+           ) v JOIN (SELECT by * 131072 + bx AS cell FROM blocks) occ
+             ON v.cell = occ.cell
+           WHERE v.nv = 9""",
+        extra_ctes=_BLOCKS_CTE + ", " + D.ring_offsets_values(1)),
+    "q_bwboundaries": _with_cells(
+        """SELECT occ.cell FROM (SELECT by * 131072 + bx AS cell FROM blocks) occ
+           LEFT JOIN (
+             SELECT v.cell FROM (
+               SELECT (b.by + o.dy) * 131072 + (b.bx + o.dx) AS cell,
+                      count(*) AS nv
+               FROM blocks b CROSS JOIN offs o GROUP BY 1
+             ) v JOIN (SELECT by * 131072 + bx AS cell FROM blocks) o2
+               ON v.cell = o2.cell
+             WHERE v.nv = 9
+           ) er ON occ.cell = er.cell
+           WHERE er.cell IS NULL""",
+        extra_ctes=_BLOCKS_CTE + ", " + D.ring_offsets_values(1)),
+    "q_ring_range": _with_cells(
+        """SELECT r.cell, round(r.vrange, 6) AS vrange FROM (
+             SELECT (p.by + o.dy) * 131072 + (p.bx + o.dx) AS cell,
+                    max(p.vmax) - min(p.vmin) AS vrange
+             FROM (SELECT (cell_x >> 12) AS bx, (cell_y >> 12) AS by,
+                          max(z) AS vmax, min(z) AS vmin
+                   FROM zc GROUP BY 1, 2) p
+             CROSS JOIN offs o GROUP BY 1
+           ) r JOIN (SELECT DISTINCT (cell_y >> 12) * 131072 + (cell_x >> 12)
+                     AS cell FROM cells) occ ON r.cell = occ.cell""",
+        extra_ctes=D.ring_offsets_values(1)
+        + f", zc AS (SELECT *, {D.z_expr(_DD)} AS z FROM cells)"),
+    "q_diff_strips": _with_cells(
+        """SELECT j.pair, j.block, round(j.szb / j.nb - j.sza / j.na, 6) AS dz,
+                  j.na + j.nb AS n_total,
+                  (row_number() OVER (PARTITION BY j.pair
+                     ORDER BY (j.na + j.nb) DESC, j.block ASC) = 1) AS is_best
+           FROM (
+             SELECT a.pair, a.block, a.sz AS sza, a.n AS na,
+                    b.sz AS szb, b.n AS nb
+             FROM (SELECT * FROM agg WHERE side = 0) a
+             JOIN (SELECT * FROM agg WHERE side = 1) b
+               ON a.pair = b.pair AND a.block = b.block
+           ) j""",
+        extra_ctes=f"""
+        base AS (
+          SELECT *, {D.z_expr(_DD)} AS z, {D.block_id_expr(_DD)} AS block,
+                 CAST(substring(group_id, 5) AS INT) AS hostnum,
+                 CAST(floor(CAST(substring(group_id, 5) AS INT) / 2) AS BIGINT) AS pair
+          FROM cells
+        ),
+        agg AS (
+          SELECT pair, block, hostnum % 2 AS side, sum(z) AS sz,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM base GROUP BY pair, block, hostnum % 2
+        )"""),
+    "q_quantize": _with_cells(
+        f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              round(z * 128) / 128 AS z_q,
+              CAST(least(greatest(round(z * 2.55), 0.0), 255.0) AS INT) AS dn_crop,
+              CAST(floor(CAST(least(greatest(round(z * 2.55), 0.0), 255.0) AS INT)
+                   * 1000 / 255) AS INT) AS dn_rescaled,
+              round(coalesce(CASE WHEN n_chars > 600 THEN z END,
+                             CASE WHEN n_chars > 300 THEN z * 0.5 END,
+                             z * 0.25), 6) AS v_priority
+            FROM (SELECT *, {D.z_expr(_DD)} AS z FROM cells)"""),
+    "q_dn2rad": _with_cells(
+        """SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+                  round(d.gain * c.n_chars + d.ofs, 6) AS rad
+           FROM cells c JOIN dim d ON c.lang = d.lang""",
+        extra_ctes="dim(lang, gain, ofs) AS (VALUES "
+        + ", ".join(f"('{s}', {g}, {o})" for s, g, o in DN2RAD_TABLE) + ")"),
+    "q_valid_range": _with_cells(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars,
+                  CASE WHEN n_chars < 150 THEN 'below_min'
+                       ELSE 'above_max' END AS reason
+           FROM cells WHERE n_chars NOT BETWEEN 150 AND 800"""),
+    "q_meta_extract": _with_cells(
+        """SELECT regexp_extract(metastr, 'lang=([a-z]+)', 1) AS lang_meta,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(CAST(regexp_extract(metastr, 'n=([0-9]+)', 1)
+                       AS BIGINT)) AS BIGINT) AS sum_n
+           FROM (SELECT ('lang=' || lang || ';n=' || CAST(n_chars AS VARCHAR))
+                 AS metastr FROM cells)
+           GROUP BY 1"""),
+    "q_checksum": _with_cells(
+        f"""SELECT group_id,
+              CAST(sum({D.hex8_i64('text', 1, _DD)}) AS BIGINT) AS checksum,
+              CAST(count(*) AS BIGINT) AS n_rows
+            FROM cells GROUP BY group_id"""),
+    "q_set_diff": _with_cells(
+        f"""SELECT group_id, CAST(count(*) AS BIGINT) AS n_remaining
+            FROM (SELECT group_id, {D.flags_expr(_DD)} AS flags FROM cells)
+            WHERE flags = 0 GROUP BY group_id"""),
+    "q_version_census": _with_cells(
+        """SELECT group_id,
+                  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+           FROM cells GROUP BY group_id"""),
+    "q_top_hosts": _with_cells(
+        """SELECT group_id, n_pages, CAST(host_rank AS INT) AS host_rank FROM (
+             SELECT group_id, CAST(count(*) AS BIGINT) AS n_pages,
+                    row_number() OVER (ORDER BY count(*) DESC, group_id ASC)
+                      AS host_rank
+             FROM cells GROUP BY group_id
+           ) WHERE host_rank <= 5"""),
+    "q_pyramid": _with_cells(
+        """SELECT 'block' AS level,
+                  CAST((cell_y >> 12) * 64 + (cell_x >> 12) AS BIGINT) AS key,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM cells GROUP BY 2
+           UNION ALL
+           SELECT 'superblock' AS level,
+                  CAST(((cell_y >> 12) >> 2) * 64 + ((cell_x >> 12) >> 2)
+                    AS BIGINT) AS key,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM cells GROUP BY 2"""),
+}
+
+
+QUERIES = {
+    "q_imdilate": q_imdilate,
+    "q_imerode": q_imerode,
+    "q_bwboundaries": q_bwboundaries,
+    "q_ring_range": q_ring_range,
+    "q_diff_strips": q_diff_strips,
+    "q_quantize": q_quantize,
+    "q_dn2rad": q_dn2rad,
+    "q_valid_range": q_valid_range,
+    "q_meta_extract": q_meta_extract,
+    "q_checksum": q_checksum,
+    "q_set_diff": q_set_diff,
+    "q_version_census": q_version_census,
+    "q_top_hosts": q_top_hosts,
+    "q_pyramid": q_pyramid,
+}
