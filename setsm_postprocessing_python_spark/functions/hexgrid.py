@@ -1,0 +1,128 @@
+"""Hexagonal cell grid (H3-style axial hex binning) in pure numpy.
+
+The true H3 index (icosahedral aperture-7) is not reimplemented here; this
+is a planar pointy-top hexagonal grid over lon/lat with the same operator
+surface the engine needs from H3: deterministic cell ids at an H3-res-8
+comparable scale, hex k-ring neighborhoods (6 neighbors at ring 1,
+3k(k+1)+1 cells in a k-ring), and parent coarsening. Vectorized numpy
+inside Arrow pandas UDFs; the square grid (sql/dialect.py) remains the
+oracle-checkable primary index, S2 (functions/s2.py) the spherical one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType
+
+HEX_SIZE_DEG = 0.005  # circumradius ~ H3 res-8 scale
+AXIAL_OFFSET = 1 << 20  # shift axial coords non-negative for packing
+AXIAL_STRIDE = 1 << 21
+
+
+def latlon_to_axial(lat: np.ndarray, lon: np.ndarray,
+                    size: float = HEX_SIZE_DEG):
+    """Pointy-top axial coordinates with cube rounding (standard public
+    hex-grid math)."""
+    x = np.asarray(lon, dtype=np.float64)
+    y = np.asarray(lat, dtype=np.float64)
+    q = (np.sqrt(3.0) / 3.0 * x - y / 3.0) / size
+    r = (2.0 / 3.0 * y) / size
+    # cube rounding
+    cx, cz = q, r
+    cy = -cx - cz
+    rx, ry, rz = np.round(cx), np.round(cy), np.round(cz)
+    dx, dy, dz = np.abs(rx - cx), np.abs(ry - cy), np.abs(rz - cz)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)
+
+
+def pack_axial(q: np.ndarray, r: np.ndarray) -> np.ndarray:
+    return (r + AXIAL_OFFSET) * AXIAL_STRIDE + (q + AXIAL_OFFSET)
+
+
+def unpack_axial(cell: np.ndarray):
+    cell = np.asarray(cell, dtype=np.int64)
+    r = cell // AXIAL_STRIDE - AXIAL_OFFSET
+    q = cell % AXIAL_STRIDE - AXIAL_OFFSET
+    return q, r
+
+
+def hex_cell(lat, lon, size: float = HEX_SIZE_DEG) -> np.ndarray:
+    q, r = latlon_to_axial(lat, lon, size)
+    return pack_axial(q, r)
+
+
+HEX_DIRECTIONS = [(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]
+
+
+def hex_ring_offsets(k: int = 1) -> list[tuple[int, int]]:
+    """All axial offsets within hex distance k (3k(k+1)+1 cells incl. 0)."""
+    out = []
+    for dq in range(-k, k + 1):
+        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1):
+            out.append((dq, dr))
+    return out
+
+
+def hex_center(cell: np.ndarray, size: float = HEX_SIZE_DEG):
+    q, r = unpack_axial(cell)
+    lon = size * np.sqrt(3.0) * (q + r / 2.0)
+    lat = size * 1.5 * r
+    return lat, lon
+
+
+def hex_parent(cell: np.ndarray, factor: int = 3) -> np.ndarray:
+    """Coarsen by snapping centers to a factor-scaled grid (aperture
+    factor^2 coarsening — the browse-pyramid analogue)."""
+    lat, lon = hex_center(cell)
+    return hex_cell(lat, lon, HEX_SIZE_DEG * factor)
+
+
+def with_hex_cell(df: DataFrame, size: float = HEX_SIZE_DEG,
+                  lat: str = "lat", lon: str = "lon",
+                  out: str = "cell_hex") -> DataFrame:
+    @F.pandas_udf(LongType())
+    def hex_udf(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
+        return pd.Series(hex_cell(lat_s.to_numpy(), lon_s.to_numpy(), size))
+
+    return df.withColumn(out, hex_udf(F.col(lat), F.col(lon)))
+
+
+def hex_kring_expand(df: DataFrame, k: int = 1,
+                     cell: str = "cell_hex") -> DataFrame:
+    """Explode each row to its hex k-ring (adds `nbr_hex`). JVM-side
+    arithmetic on the packed id: offset = dr*AXIAL_STRIDE + dq."""
+    deltas = [dr * AXIAL_STRIDE + dq for dq, dr in hex_ring_offsets(k)]
+    arr = F.array(*[F.lit(d) for d in deltas])
+    return (df.withColumn("_d", F.explode(arr))
+              .withColumn("nbr_hex", F.col(cell) + F.col("_d"))
+              .drop("_d"))
+
+
+def hex_knn(df: DataFrame, k_neighbors: int = 3, ring: int = 1) -> DataFrame:
+    """kNN over the hex grid: hex k-ring expansion + cell-local join +
+    distance rank (north-star kNN formulation on the hex index)."""
+    from pyspark.sql import Window
+
+    base = with_hex_cell(df)
+    a = hex_kring_expand(
+        base.select(F.col("url").alias("url_a"), F.col("lat").alias("lat_a"),
+                    F.col("lon").alias("lon_a"), "cell_hex"), ring)
+    b = base.select(F.col("url").alias("url_b"), F.col("lat").alias("lat_b"),
+                    F.col("lon").alias("lon_b"),
+                    F.col("cell_hex").alias("nbr_hex"))
+    j = a.join(b, "nbr_hex").where(F.col("url_a") != F.col("url_b"))
+    j = j.withColumn(
+        "dist2",
+        (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+        + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b")))
+    w = Window.partitionBy("url_a").orderBy(F.col("dist2").asc(), F.col("url_b").asc())
+    return (j.withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= k_neighbors)
+             .select("url_a", "url_b", "rank"))

@@ -167,6 +167,23 @@ def q_adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_tiles_pip(df, tiles).select("url", "tile_id")
 
 
+def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-grid cell ids (H3-style axial binning; rows-only — numpy cube
+    rounding, invariants in tests/test_hexgrid.py)."""
+    from ..functions.hexgrid import with_hex_cell
+
+    df = with_hex_cell(P.geocoded_pages(spark, sf_dir))
+    return df.select("url", "cell_hex")
+
+
+def q_hex_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN over the hex index: hex k-ring expansion + cell-local join
+    (rows-only; cross-checked vs brute force in tests/test_hexgrid.py)."""
+    from ..functions.hexgrid import hex_knn
+
+    return hex_knn(P.geocoded_pages(spark, sf_dir), k_neighbors=3, ring=1)
+
+
 def q_bwareaopen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component size filter over occupied coarse blocks
     (bwareaopen analogue; rows-only — iterative label propagation)."""
@@ -408,6 +425,8 @@ QUERIES = {
     "q_ring_entropy": q_ring_entropy,
     "q_adaptive_tiles": q_adaptive_tiles,  # rows-only (iterative tiling)
     "q_bwareaopen": q_bwareaopen,          # rows-only (iterative CC)
+    "q_hex_cells": q_hex_cells,            # rows-only (numpy hex binning)
+    "q_hex_knn": q_hex_knn,                # rows-only (hex k-ring kNN)
     "q_quality": q_quality,
     "q_langid": q_langid,
     "q_fingerprint": q_fingerprint,
