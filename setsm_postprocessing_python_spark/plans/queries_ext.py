@@ -60,6 +60,36 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup family
 # ---------------------------------------------------------------------------
 
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint invariant: html -> extract_text is byte-identical to
+    the stored text per url. Output carries the md5 of both sides plus the
+    equality flag so the oracle check IS the invariant check."""
+    from ..functions.text import extract_text
+
+    df = P.pages(spark, sf_dir, with_html=True)
+    ext = df.withColumn("extracted", extract_text(F.col("html")))
+    return ext.select(
+        "url",
+        F.md5("extracted").alias("extracted_md5"),
+        F.md5("text").alias("text_md5"),
+        (F.col("extracted") == F.col("text")).alias("byte_identical"))
+
+
+def q_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elevation percentile spread per group: p80(z) - p20(z) with the
+    adaptive-threshold select (lib/filter_scene.py:1526-1544): spread
+    bucketed to the reference's threshold ladder."""
+    df = P.geocoded_pages(spark, sf_dir).withColumn("z", F.expr(D.z_expr(D.SPARK)))
+    agg = df.groupBy("group_id").agg(
+        F.expr("percentile(z, 0.8) - percentile(z, 0.2)").alias("spread"))
+    thresh = F.expr(
+        "CASE WHEN spread < 40 THEN 10.5 WHEN spread < 50 THEN 15.0 "
+        "WHEN spread < 75 THEN 19.0 WHEN spread < 90 THEN 27.0 "
+        "ELSE 50.0 END")
+    return agg.select("group_id", F.round("spread", 6).alias("spread"),
+                      thresh.alias("stdev_thresh"))
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(P.pages(spark, sf_dir), threshold_pct=50)
 
@@ -383,6 +413,25 @@ ORACLES: dict[str, str] = {
 }
 
 
+ORACLES["q_extract_text"] = _with_cells(
+    """SELECT url, md5(extracted) AS extracted_md5, md5(text) AS text_md5,
+              (extracted = text) AS byte_identical
+       FROM (SELECT url, text,
+                    regexp_replace(regexp_replace(
+                      decode(encode('<html><body>' || text || '</body></html>')),
+                      '^<html><body>', ''), '</body></html>$', '') AS extracted
+             FROM cells)""")
+
+ORACLES["q_percentile_gate"] = _with_cells(
+    f"""SELECT group_id, round(spread, 6) AS spread,
+          CASE WHEN spread < 40 THEN 10.5 WHEN spread < 50 THEN 15.0
+               WHEN spread < 75 THEN 19.0 WHEN spread < 90 THEN 27.0
+               ELSE 50.0 END AS stdev_thresh
+        FROM (SELECT group_id,
+                     quantile_cont(z, 0.8) - quantile_cont(z, 0.2) AS spread
+              FROM (SELECT group_id, {D.z_expr(_DD)} AS z FROM cells)
+              GROUP BY group_id)""")
+
 ORACLES["q_ring_stats"] = _with_cells(
     """SELECT o.target_cell AS cell, CAST(o.n AS BIGINT) AS n_in_ring,
               round(o.s / o.n, 6) AS ring_mean,
@@ -420,6 +469,8 @@ ORACLES["q_ring_entropy"] = _with_cells(
 
 QUERIES = {
     "q_token_stats": q_token_stats,
+    "q_extract_text": q_extract_text,
+    "q_percentile_gate": q_percentile_gate,
     "q_s2_cells": q_s2_cells,          # rows-only (numpy Hilbert encode)
     "q_ring_stats": q_ring_stats,
     "q_ring_entropy": q_ring_entropy,
