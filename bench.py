@@ -45,14 +45,23 @@ def materialize(df) -> int:
 
 def headline_queries():
     from setsm_postprocessing_python_spark.plans import queries as Q
+    from setsm_postprocessing_python_spark.plans import queries_ext as QX
+    from setsm_postprocessing_python_spark.plans import queries_ref as QR
 
     return {
         "tile_counts": Q.q_tile_counts,     # geocode + tile assign + rollup
         "tile_assign_pip": Q.q_tile_assign, # pandas-UDF PIP path
-        "knn": Q.q_knn,                     # k-ring expansion join + top-k
+        "knn": Q.q_knn,                     # blocked-halo k-ring kNN
         "ring_density": Q.q_ring_density,   # two-stage neighborhood agg
         "mask_filter": Q.q_mask_filter,     # flags algebra + group census
         "dedup_exact": Q.q_dedup_exact,     # hash groupBy dedup
+        "minhash_lsh": QX.q_minhash_lsh,    # shingle -> minhash -> band join
+        "ann_lsh": QX.q_ann_lsh,            # LSH-bucketed ANN (scale path;
+                                            # exact O(n^2) topk is the
+                                            # correctness oracle, not a bench)
+        "fingerprint": QX.q_fingerprint,    # positional rolling hash
+        "diff_strips": QR.q_diff_strips,    # pair/block dz + best window
+        "feather_blend": QX.q_feather_blend,  # weighted overlap merge
     }
 
 
@@ -137,6 +146,13 @@ def run_scaling_single(parallelism: int, n_rows: int) -> dict:
             .groupBy("group_id").agg(F.expr("bit_or(flags)").alias("fm"),
                                      F.count(F.lit(1)).alias("n")),
     }
+    # skew stage: 30% of rows in one hot cell, salted two-stage agg
+    from setsm_postprocessing_python_spark.operators.skew import salted_count
+
+    hot = synthetic_pages(spark, n_rows // 2, partitions=SCALE_INPUT_PARTS,
+                          hot_fraction=0.3).persist()
+    hot.count()
+    stages["hot_cell_salted"] = lambda: salted_count(hot, "cell")
     times = {}
     for name, fn in stages.items():
         materialize(fn())  # warmup: codegen compile + JIT, not measured

@@ -98,22 +98,51 @@ def with_lsh_buckets(df: DataFrame, dim: int, n_tables: int = 8,
 
 
 def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
-             planes_per_table: int = 4, id_col: str = "vec_id",
+             planes_per_table: int | None = None, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42) -> DataFrame:
     """Approximate top-k: candidates collide in >=1 of n_tables LSH
     tables; exact cosine re-rank within candidates. Collision probability
     for angle theta: 1 - (1 - (1-theta/pi)^P)^T — with T=8, P=4 a
     60-degree neighbor is caught with p ~ 0.8. The join is an equi-join
     on the exploded bucket key — linear-ish at scale, hot buckets split
-    by AQE skew handling."""
+    by AQE skew handling.
+
+    planes_per_table defaults to log2(n / 64) clamped to >=4: average
+    bucket size ~64 regardless of n, so candidate count stays ~64*T per
+    query vector instead of growing linearly with n."""
+    if planes_per_table is None:
+        import math
+
+        n = df.count()
+        planes_per_table = max(4, int(math.ceil(math.log2(max(n, 2) / 64.0))))
     base = with_lsh_buckets(df, dim, n_tables, planes_per_table, vec_col, seed)
-    a = base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"),
+    base = base.persist()
+    a = base.select(F.col(id_col).alias("vec_id"),
                     F.explode("buckets").alias("bkt"))
-    b = base.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"),
+    b = base.select(F.col(id_col).alias("nbr_id"),
                     F.explode("buckets").alias("bkt"))
-    j = (a.join(b, "bkt").where(F.col("vec_id") != F.col("nbr_id"))
-          .select("vec_id", "nbr_id", "va", "vb").distinct())
-    j = j.withColumn("cosine", F.expr(_cos_expr("va", "vb")))
+    # dedupe candidates on the id PAIR (cheap fixed-width shuffle), then
+    # re-attach vectors — never shuffle/hash the 64-dim arrays per pair
+    pairs = (a.join(b, "bkt").where(F.col("vec_id") != F.col("nbr_id"))
+              .select("vec_id", "nbr_id").distinct())
+    va_side = base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"))
+    vb_side = base.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"))
+    j = pairs.join(va_side, "vec_id").join(vb_side, "nbr_id")
+    # candidate re-rank cosine: Arrow-batched numpy (the exact-parity
+    # zip_with expression path in brute_force_topk is ~300k pairs/s; the
+    # batched BLAS path is the one that survives millions of candidates)
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def cos_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.stack(va.to_numpy()).astype(np.float64)
+        mb = np.stack(vb.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(dots / (na * nb))
+
+    j = j.withColumn("cosine", cos_udf(F.col("va"), F.col("vb")))
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
     return (j.withColumn("sim_rank", F.row_number().over(w))
              .where(F.col("sim_rank") <= k)
