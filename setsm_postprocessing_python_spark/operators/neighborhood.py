@@ -119,6 +119,84 @@ def ring_stat(df: DataFrame, value: str, ring: int = 1) -> DataFrame:
     )
 
 
+def weighted_kernel_agg(df: DataFrame, value: str,
+                        kernel: dict[tuple[int, int], int]) -> DataFrame:
+    """General 2-D convolution over cell space (conv2 analogue,
+    lib/raster_array_tools.py:1457-1728): per-cell partial sums scattered
+    to each kernel offset with its weight, final weighted sum at the
+    target cell. Integer kernel weights keep the result exactly
+    order-insensitive; normalize downstream if needed.
+
+    Output: (cell, conv_sum, conv_wsum) for occupied cells — conv_sum =
+    sum(w * value), conv_wsum = sum(w * n) so callers can form the
+    normalized kernel mean (the reference's nan-aware moving_average)."""
+    per_cell = df.groupBy("cell", "cell_x", "cell_y").agg(
+        F.sum(F.col(value).cast("double")).alias("s"),
+        F.count(value).alias("n"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(w).alias("w"))
+        for (dx, dy), w in sorted(kernel.items())
+    ])
+    scattered = (per_cell.withColumn("_o", F.explode(offs))
+                 .select(((F.col("cell_y") + F.col("_o.dy")) * D.LON_CELL_STRIDE
+                          + (F.col("cell_x") + F.col("_o.dx"))).alias("target_cell"),
+                         (F.col("_o.w") * F.col("s")).alias("ws"),
+                         (F.col("_o.w") * F.col("n")).alias("wn")))
+    out = scattered.groupBy("target_cell").agg(
+        F.sum("ws").alias("conv_sum"), F.sum("wn").alias("conv_wsum"))
+    occ = per_cell.select(F.col("cell").alias("target_cell"))
+    return (out.join(occ, "target_cell")
+            .select(F.col("target_cell").alias("cell"), "conv_sum", "conv_wsum"))
+
+
+def interp_shifted(df: DataFrame, value: str, dx_cells: float,
+                   dy_cells: float) -> DataFrame:
+    """Bilinear sample of the per-cell value field at (cell + fractional
+    shift) — the interp2 shifted-grid resample analogue
+    (lib/raster_array_tools.py:598-661; used for the coregistration shift,
+    lib/scenes2strips.py:570-631). The four surrounding cells contribute
+    with bilinear weights; cells whose 4-neighborhood is incomplete return
+    NULL (out-of-bounds -> NaN semantics).
+
+    Output: (cell, v_shifted)."""
+    import math
+
+    fx, fy = math.floor(dx_cells), math.floor(dy_cells)
+    ax, ay = dx_cells - fx, dy_cells - fy
+    weights = {
+        (fx, fy): (1 - ax) * (1 - ay),
+        (fx + 1, fy): ax * (1 - ay),
+        (fx, fy + 1): (1 - ax) * ay,
+        (fx + 1, fy + 1): ax * ay,
+    }
+    per_cell = df.groupBy("cell", "cell_x", "cell_y").agg(
+        F.avg(F.col(value).cast("double")).alias("v"))
+    # gather formulation: target cell c samples source cells c + offset
+    parts = []
+    for (ox, oy), w in sorted(weights.items()):
+        if w == 0.0:
+            continue
+        src = per_cell.select(
+            ((F.col("cell_y") - oy) * D.LON_CELL_STRIDE
+             + (F.col("cell_x") - ox)).alias("cell"),
+            (F.lit(w) * F.col("v")).alias("wv"),
+            F.lit(w).alias("w"))
+        parts.append(src)
+    gathered = parts[0]
+    for p in parts[1:]:
+        gathered = gathered.unionByName(p)
+    agg = gathered.groupBy("cell").agg(
+        F.sum("wv").alias("wv"), F.sum("w").alias("wsum"),
+        F.count(F.lit(1)).alias("ncontrib"))
+    occ = per_cell.select("cell")
+    need = sum(1 for w in weights.values() if w != 0.0)
+    return (agg.join(occ, "cell")
+            .select("cell",
+                    F.when(F.col("ncontrib") == need, F.col("wv"))
+                     .otherwise(F.lit(None)).alias("v_shifted")))
+
+
 def ring_entropy(df: DataFrame, category: str = "lang", ring: int = 1) -> DataFrame:
     """Shannon entropy (bits) of a categorical column over each occupied
     cell's k-ring (entropyfilt analogue, lib/raster_array_tools.py:2541-2750,

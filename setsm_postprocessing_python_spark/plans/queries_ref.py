@@ -233,6 +233,88 @@ def q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# kernels #2: general conv2, shifted bilinear interp, upsample, windows
+# ---------------------------------------------------------------------------
+
+CONV2_KERNEL = {(0, 0): 4, (1, 0): 2, (-1, 0): 2, (0, 1): 2, (0, -1): 2,
+                (1, 1): 1, (1, -1): 1, (-1, 1): 1, (-1, -1): 1}
+SHIFT_DX, SHIFT_DY = 0.5, 0.25
+
+
+def q_conv2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-kernel convolution over cells (conv2 analogue,
+    lib/raster_array_tools.py:1457-1728) with a Gaussian-ish integer
+    kernel, over coarse blocks."""
+    from ..operators.neighborhood import weighted_kernel_agg
+
+    df = (P.geocoded_pages(spark, sf_dir)
+          .withColumn("z", F.expr(D.z_expr(D.SPARK)))
+          .select(F.expr(D.block_x_expr(D.SPARK)).alias("cell_x"),
+                  F.expr(D.block_y_expr(D.SPARK)).alias("cell_y"), "z")
+          .withColumn("cell", F.expr(D.cell_id_from_xy())))
+    out = weighted_kernel_agg(df, "z", CONV2_KERNEL)
+    return out.select("cell", F.round("conv_sum", 6).alias("conv_sum"),
+                      F.col("conv_wsum").cast("bigint").alias("conv_wsum"))
+
+
+def q_interp_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear shifted-grid resample (interp2 analogue,
+    lib/raster_array_tools.py:598-661; the coregistration shift,
+    lib/scenes2strips.py:570-631), over coarse blocks; incomplete
+    4-neighborhoods -> NULL (out-of-bounds NaN semantics)."""
+    from ..operators.neighborhood import interp_shifted
+
+    df = (P.geocoded_pages(spark, sf_dir)
+          .withColumn("z", F.expr(D.z_expr(D.SPARK)))
+          .select(F.expr(D.block_x_expr(D.SPARK)).alias("cell_x"),
+                  F.expr(D.block_y_expr(D.SPARK)).alias("cell_y"), "z")
+          .withColumn("cell", F.expr(D.cell_id_from_xy())))
+    out = interp_shifted(df, "z", SHIFT_DX, SHIFT_DY)
+    return out.select("cell", F.round("v_shifted", 6).alias("v_shifted"))
+
+
+def q_upsample_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize back to native cells: per-block mean z
+    broadcast to every member cell (the 8m-mask -> native-res step,
+    lib/filter_scene.py:339-341)."""
+    df = (P.geocoded_pages(spark, sf_dir)
+          .withColumn("z", F.expr(D.z_expr(D.SPARK)))
+          .withColumn("block", F.expr(D.block_id_expr(D.SPARK))))
+    per_block = df.groupBy("block").agg(F.avg("z").alias("bz"))
+    return (df.join(F.broadcast(per_block), "block")
+            .select("url", "cell", F.round("bz", 6).alias("z_block")))
+
+
+def q_crawl_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered window analytics per group: inter-crawl gaps via lag()
+    (classic ordered Window — SURVEY §2.5 'ordered analytics')."""
+    df = P.pages(spark, sf_dir)
+    w = Window.partitionBy("group_id").orderBy(F.col("warc_epoch").asc(),
+                                               F.col("url").asc())
+    gaps = df.withColumn("delta", F.col("warc_epoch") - F.lag("warc_epoch").over(w))
+    return gaps.groupBy("group_id").agg(
+        F.count("delta").alias("n_gaps"),
+        F.sum("delta").cast("bigint").alias("sum_delta"),
+        F.max("delta").cast("bigint").alias("max_delta"))
+
+
+def q_golden_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-output diff (diff_stripmeta analogue,
+    testing/validation/stripmeta/diff_stripmeta.py:42-51): the PIP tile
+    path and the quadkey arithmetic path must assign identically — output
+    = the mismatch set, expected EMPTY."""
+    from ..operators.tiles import assign_tiles_pip, assign_tiles_quadkey, fixed_depth_tiles
+
+    df = P.geocoded_pages(spark, sf_dir)
+    pip = assign_tiles_pip(df, fixed_depth_tiles()).select(
+        "url", F.col("tile_id").alias("tile_pip"))
+    qk = assign_tiles_quadkey(df).select("url", F.col("tile_id").alias("tile_qk"))
+    return (pip.join(qk, "url")
+            .where(F.col("tile_pip") != F.col("tile_qk"))
+            .select("url", "tile_pip", "tile_qk"))
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -363,8 +445,78 @@ ORACLES: dict[str, str] = {
 }
 
 
+_W = {}
+import math as _math
+_fx, _fy = _math.floor(SHIFT_DX), _math.floor(SHIFT_DY)
+_ax, _ay = SHIFT_DX - _fx, SHIFT_DY - _fy
+_W = {(_fx, _fy): (1 - _ax) * (1 - _ay), (_fx + 1, _fy): _ax * (1 - _ay),
+      (_fx, _fy + 1): (1 - _ax) * _ay, (_fx + 1, _fy + 1): _ax * _ay}
+_WTS = ", ".join(f"({ox}, {oy}, {w!r})" for (ox, oy), w in sorted(_W.items())
+                 if w != 0.0)
+_NEED = sum(1 for w in _W.values() if w != 0.0)
+_KW = ", ".join(f"({dx}, {dy}, {w})" for (dx, dy), w in sorted(CONV2_KERNEL.items()))
+
+ORACLES["q_conv2"] = _with_cells(
+    """SELECT o.cell, round(o.conv_sum, 6) AS conv_sum,
+              CAST(o.conv_wsum AS BIGINT) AS conv_wsum
+       FROM (
+         SELECT (p.cell_y + kk.dy) * 131072 + (p.cell_x + kk.dx) AS cell,
+                sum(kk.w * p.s) AS conv_sum, sum(kk.w * p.n) AS conv_wsum
+         FROM (SELECT cell_x, cell_y, sum(z) AS s, count(z) AS n
+               FROM zb GROUP BY 1, 2) p
+         CROSS JOIN kern kk GROUP BY 1
+       ) o JOIN (SELECT DISTINCT cell_y * 131072 + cell_x AS cell FROM zb) occ
+         ON o.cell = occ.cell""",
+    extra_ctes=f"kern(dx, dy, w) AS (VALUES {_KW}), "
+    f"zb AS (SELECT (cell_x >> 12) AS cell_x, (cell_y >> 12) AS cell_y, "
+    f"{D.z_expr(_DD)} AS z FROM cells)")
+
+ORACLES["q_interp_shift"] = _with_cells(
+    f"""SELECT a.cell,
+          round(CASE WHEN a.nc = {_NEED} THEN a.wv END, 6) AS v_shifted
+        FROM (
+          SELECT (p.cell_y - o.oy) * 131072 + (p.cell_x - o.ox) AS cell,
+                 sum(o.w * p.v) AS wv, count(*) AS nc
+          FROM (SELECT cell_x, cell_y, avg(z) AS v FROM zb GROUP BY 1, 2) p
+          CROSS JOIN wts o GROUP BY 1
+        ) a JOIN (SELECT DISTINCT cell_y * 131072 + cell_x AS cell FROM zb) occ
+          ON a.cell = occ.cell""",
+    extra_ctes=f"wts(ox, oy, w) AS (VALUES {_WTS}), "
+    f"zb AS (SELECT (cell_x >> 12) AS cell_x, (cell_y >> 12) AS cell_y, "
+    f"{D.z_expr(_DD)} AS z FROM cells)")
+
+ORACLES["q_upsample_nearest"] = _with_cells(
+    f"""SELECT c.url, c.cell, round(b.bz, 6) AS z_block
+        FROM (SELECT *, {D.block_id_expr(_DD)} AS block,
+                     {D.z_expr(_DD)} AS z FROM cells) c
+        JOIN (SELECT block, avg(z) AS bz FROM
+                (SELECT {D.block_id_expr(_DD)} AS block, {D.z_expr(_DD)} AS z
+                 FROM cells) GROUP BY block) b
+          ON c.block = b.block""")
+
+ORACLES["q_crawl_intervals"] = _with_cells(
+    """SELECT group_id, CAST(count(delta) AS BIGINT) AS n_gaps,
+              CAST(sum(delta) AS BIGINT) AS sum_delta,
+              CAST(max(delta) AS BIGINT) AS max_delta
+       FROM (
+         SELECT group_id,
+                warc_epoch - lag(warc_epoch) OVER (
+                  PARTITION BY group_id ORDER BY warc_epoch ASC, url ASC
+                ) AS delta
+         FROM cells
+       ) GROUP BY group_id""")
+
+ORACLES["q_golden_diff"] = _with_cells(
+    "SELECT url, 'a' AS tile_pip, 'b' AS tile_qk FROM cells WHERE 1 = 0")
+
+
 QUERIES = {
     "q_imdilate": q_imdilate,
+    "q_conv2": q_conv2,
+    "q_interp_shift": q_interp_shift,
+    "q_upsample_nearest": q_upsample_nearest,
+    "q_crawl_intervals": q_crawl_intervals,
+    "q_golden_diff": q_golden_diff,
     "q_imerode": q_imerode,
     "q_bwboundaries": q_bwboundaries,
     "q_ring_range": q_ring_range,
