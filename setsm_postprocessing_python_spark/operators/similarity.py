@@ -97,6 +97,73 @@ def with_lsh_buckets(df: DataFrame, dim: int, n_tables: int = 8,
     return df.withColumn("buckets", buckets_of(F.col(vec_col)))
 
 
+def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_lists: int = 8,
+             n_probe: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """IVF-style ANN: a k-means coarse quantizer (trained driver-side on a
+    bounded sample with Lloyd iterations — the sample and the centroids
+    are tiny regardless of table size) assigns each vector to its nearest
+    list; queries probe their n_probe nearest lists; exact cosine re-rank
+    within candidates.
+
+    Scale shape: centroids are driver-side tiny and broadcast; list
+    assignment is one batched numpy matmul per Arrow batch; the candidate
+    join is an equi-join on list id. Probing >1 list recovers recall lost
+    at list boundaries (the IVF nprobe knob)."""
+    rng = np.random.default_rng(seed)
+    sample = np.stack([r[0] for r in
+                       df.select(vec_col).limit(10_000).collect()]).astype(np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = sample[rng.choice(len(sample), n_lists, replace=False)]
+    for _ in range(10):  # spherical k-means Lloyd iterations
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(n_lists):
+            members = sample[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / (np.linalg.norm(m) + 1e-12)
+
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe_lists(v: pd.Series, n: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ cents.T                       # (batch, n_lists)
+        order = np.argsort(-sims, axis=1)
+        return pd.Series([row[:int(c)].astype(np.int64)
+                          for row, c in zip(order, n.to_numpy())])
+
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    assigned = base.withColumn(
+        "home_list", F.element_at(probe_lists(F.col("v"), F.lit(1)), 1))
+    probed = base.withColumn(
+        "probe_list", F.explode(probe_lists(F.col("v"), F.lit(n_probe))))
+    a = probed.select(F.col("vec_id"), F.col("v").alias("va"), "probe_list")
+    b = assigned.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"),
+                        F.col("home_list").alias("probe_list"))
+    j = (a.join(b, "probe_list").where(F.col("vec_id") != F.col("nbr_id"))
+          .select("vec_id", "nbr_id", "va", "vb").distinct())
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def cos_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.stack(va.to_numpy()).astype(np.float64)
+        mb = np.stack(vb.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(dots / (na * nb))
+
+    j = j.withColumn("cosine", cos_udf(F.col("va"), F.col("vb")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (j.withColumn("sim_rank", F.row_number().over(w))
+             .where(F.col("sim_rank") <= k)
+             .select(F.col("vec_id").cast("bigint"), F.col("nbr_id").cast("bigint"),
+                     "cosine", "sim_rank"))
+
+
 def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
              planes_per_table: int | None = None, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42) -> DataFrame:

@@ -128,6 +128,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, dim=64, k=3)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantizer lists + nprobe search (rows-only;
+    recall asserted in tests)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.ivf_topk(emb, dim=64, k=3)
+
+
 # ---------------------------------------------------------------------------
 # strip assembly (merge order / coreg / feather)
 # ---------------------------------------------------------------------------
@@ -488,6 +495,7 @@ QUERIES = {
     "q_cosine_topk": q_cosine_topk,
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_ann_lsh": q_ann_lsh,            # rows-only (no oracle)
+    "q_ann_ivf": q_ann_ivf,            # rows-only (IVF nprobe search)
     "q_merge_order": q_merge_order,    # rows-only (procedural greedy fold)
     "q_coregister": q_coregister,      # rows-only (iterative LSQ)
     "q_feather_blend": q_feather_blend,

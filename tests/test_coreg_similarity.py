@@ -84,6 +84,19 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    from setsm_postprocessing_python_spark.operators.similarity import (
+        brute_force_topk, ivf_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.vec_id, r.nbr_id)
+             for r in brute_force_topk(emb, k=3).collect()}
+    approx = {(r.vec_id, r.nbr_id)
+              for r in ivf_topk(emb, dim=64, k=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
 def test_multimodal_plumbing(spark):
     from setsm_postprocessing_python_spark.operators.multimodal import (
         attach_media, decode_features, resize_features)
