@@ -221,6 +221,17 @@ def q_hex_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hex_knn(P.geocoded_pages(spark, sf_dir), k_neighbors=3, ring=1)
 
 
+def q_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group footprint hull + bounding rect (getFPvertices /
+    rectFootprint analogues; rows-only — hull is procedural, properties
+    tested in tests/test_footprint.py)."""
+    from ..operators.footprint import group_footprints
+
+    fp = group_footprints(P.geocoded_pages(spark, sf_dir))
+    return fp.select("group_id", "n_cells", "n_vertices",
+                     F.round("hull_area", 6).alias("hull_area"), "wkt")
+
+
 def q_bwareaopen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component size filter over occupied coarse blocks
     (bwareaopen analogue; rows-only — iterative label propagation)."""
@@ -484,6 +495,7 @@ QUERIES = {
     "q_adaptive_tiles": q_adaptive_tiles,  # rows-only (iterative tiling)
     "q_bwareaopen": q_bwareaopen,          # rows-only (iterative CC)
     "q_hex_cells": q_hex_cells,            # rows-only (numpy hex binning)
+    "q_footprints": q_footprints,          # rows-only (convex hull fold)
     "q_hex_knn": q_hex_knn,                # rows-only (hex k-ring kNN)
     "q_quality": q_quality,
     "q_langid": q_langid,
