@@ -246,6 +246,100 @@ def host_pair(col):
 
 
 # ---------------------------------------------------------------------------
+# feather weight FIELD (2-D distance-based, cogrouped UDF — the
+# lib/scenes2strips.py:400-476 semantics: overlap mask A in {1,2} ->
+# boundary-interpolated continuous field, rescaled clip((W-.25)/.3, 0, 1))
+# ---------------------------------------------------------------------------
+
+FEATHER_FIELD_SCHEMA = "pair string, block long, w double"
+
+
+def _feather_field(key, a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+    """Per pair: dense local grid over the two sides' blocks; overlap
+    weight = dB / (dA + dB) where dA/dB are chessboard BFS distances to
+    the A-only / B-only regions (the griddata-interpolated field
+    analogue), then the reference rescale. Grids are bounded (coarse
+    blocks), so the numpy BFS is tiny per task."""
+    pair = str(key[0])
+    if not len(a) or not len(b):
+        return pd.DataFrame(columns=["pair", "block", "w"]).astype(
+            {"pair": str, "block": "int64", "w": "float64"})
+    ax, ay = a["bx"].to_numpy(), a["by"].to_numpy()
+    bx, by = b["bx_b"].to_numpy(), b["by_b"].to_numpy()
+    x0, x1 = int(min(ax.min(), bx.min())), int(max(ax.max(), bx.max()))
+    y0, y1 = int(min(ay.min(), by.min())), int(max(ay.max(), by.max()))
+    W, H = x1 - x0 + 1, y1 - y0 + 1
+    in_a = np.zeros((H, W), dtype=bool)
+    in_b = np.zeros((H, W), dtype=bool)
+    in_a[ay - y0, ax - x0] = True
+    in_b[by - y0, bx - x0] = True
+    overlap = in_a & in_b
+    if not overlap.any():
+        return pd.DataFrame(columns=["pair", "block", "w"]).astype(
+            {"pair": str, "block": "int64", "w": "float64"})
+
+    def bfs_dist(seed: np.ndarray) -> np.ndarray:
+        dist = np.full((H, W), np.inf)
+        dist[seed] = 0.0
+        frontier = seed.copy()
+        d = 0.0
+        while frontier.any():
+            d += 1.0
+            grown = frontier.copy()
+            grown[1:, :] |= frontier[:-1, :]
+            grown[:-1, :] |= frontier[1:, :]
+            grown[:, 1:] |= frontier[:, :-1]
+            grown[:, :-1] |= frontier[:, 1:]
+            grown[1:, 1:] |= frontier[:-1, :-1]
+            grown[:-1, :-1] |= frontier[1:, 1:]
+            grown[1:, :-1] |= frontier[:-1, 1:]
+            grown[:-1, 1:] |= frontier[1:, :-1]
+            new = grown & ~np.isfinite(dist)
+            if not new.any():
+                break
+            dist[new] = d
+            frontier = new
+        return dist
+
+    a_only = in_a & ~in_b
+    b_only = in_b & ~in_a
+    if a_only.any() and b_only.any():
+        dA = bfs_dist(a_only)
+        dB = bfs_dist(b_only)
+        with np.errstate(invalid="ignore"):
+            w_raw = dB / (dA + dB)
+        w_raw = np.where(np.isfinite(w_raw), w_raw, 0.5)
+    else:
+        w_raw = np.full((H, W), 0.5)
+    # reference rescale (lib/scenes2strips.py:461-476)
+    w = np.clip((w_raw - 0.25) / (0.55 - 0.25), 0.0, 1.0)
+    ys, xs = np.nonzero(overlap)
+    blocks = (ys + y0).astype(np.int64) * 64 + (xs + x0).astype(np.int64)
+    return pd.DataFrame({"pair": pair, "block": blocks, "w": w[ys, xs]})
+
+
+def feather_weight_field(df: DataFrame) -> DataFrame:
+    """2-D feather weight field per host pair over their overlap blocks
+    (cogrouped applyInPandas — SURVEY §2.10 UDF #5). Output:
+    (pair, block, w) with w in [0,1], 1 deep on the A side of the overlap,
+    0 deep on the B side, smoothly interpolated between boundaries."""
+    base = (df.withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
+              .withColumn("by", F.expr(D.block_y_expr(D.SPARK)))
+              .withColumn("hostnum", F.expr("cast(substring(group_id, 5) as int)"))
+              .withColumn("pair", F.expr(
+                  "concat('pair', cast(floor(cast(substring(group_id, 5) as int) / 2)"
+                  " as string))")))
+    side_a = (base.where("pmod(hostnum, 2) = 0")
+              .select("pair", "bx", "by").distinct())
+    side_b = (base.where("pmod(hostnum, 2) = 1")
+              .select("pair", F.col("bx").alias("bx_b"),
+                      F.col("by").alias("by_b")).distinct())
+    return (side_a.groupBy("pair")
+            .cogroup(side_b.groupBy("pair"))
+            .applyInPandas(_feather_field, FEATHER_FIELD_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
 # feather blend (oracle-checkable DataFrame algebra)
 # ---------------------------------------------------------------------------
 

@@ -221,6 +221,13 @@ def q_hex_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hex_knn(P.geocoded_pages(spark, sf_dir), k_neighbors=3, ring=1)
 
 
+def q_feather_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D feather weight field (cogrouped distance-BFS UDF; rows-only —
+    monotone-gradient semantics tested in tests/test_feather_field.py)."""
+    fw = M.feather_weight_field(P.geocoded_pages(spark, sf_dir))
+    return fw.select("pair", "block", F.round("w", 6).alias("w"))
+
+
 def q_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group footprint hull + bounding rect (getFPvertices /
     rectFootprint analogues; rows-only — hull is procedural, properties
@@ -496,6 +503,7 @@ QUERIES = {
     "q_bwareaopen": q_bwareaopen,          # rows-only (iterative CC)
     "q_hex_cells": q_hex_cells,            # rows-only (numpy hex binning)
     "q_footprints": q_footprints,          # rows-only (convex hull fold)
+    "q_feather_field": q_feather_field,    # rows-only (cogrouped BFS field)
     "q_hex_knn": q_hex_knn,                # rows-only (hex k-ring kNN)
     "q_quality": q_quality,
     "q_langid": q_langid,
