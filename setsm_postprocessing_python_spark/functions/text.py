@@ -105,6 +105,47 @@ def langid_expr(dialect: str, text: str = "text") -> str:
     return f"(CASE {' '.join(cases)} ELSE '{LANG_ORDER[0]}' END)"
 
 
+def _lang_bigram_profiles() -> dict[str, list[str]]:
+    """Deterministic char-bigram profile per language, derived from the
+    stopword lists (public-knowledge n-gram language-ID heuristic)."""
+    profiles = {}
+    for lang, words in STOPWORDS.items():
+        bigrams = sorted({w[i:i + 2] for w in words for i in range(len(w) - 1)})
+        profiles[lang] = bigrams
+    return profiles
+
+
+def langid_ngram_expr(dialect: str, text: str = "text") -> str:
+    """Character-n-gram language-ID: score = number of text bigram
+    positions found in the language's profile; argmax with first-max-wins
+    (same tie rule as the stopword variant). Dual-dialect."""
+    profiles = _lang_bigram_profiles()
+
+    def score(lang: str) -> str:
+        lst = ", ".join(f"'{b}'" for b in profiles[lang])
+        if dialect == D.SPARK:
+            grams = f"transform(sequence(1, greatest(length({text}) - 1, 1)), i -> substr({text}, i, 2))"
+            return f"size(filter({grams}, b -> b IN ({lst})))"
+        grams = f"list_transform(range(1, greatest(length({text}), 2)), i -> substr({text}, i, 2))"
+        return f"len(list_filter({grams}, b -> b IN ({lst})))"
+
+    scores = {lang: score(lang) for lang in LANG_ORDER}
+    cases = []
+    for i, lang in enumerate(LANG_ORDER):
+        conds = []
+        for j, other in enumerate(LANG_ORDER):
+            if i == j:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"({scores[lang]}) {op} ({scores[other]})")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"(CASE {' '.join(cases)} ELSE '{LANG_ORDER[0]}' END)"
+
+
+def with_langid_ngram(df: DataFrame, text: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred_ngram", F.expr(langid_ngram_expr(D.SPARK, text)))
+
+
 def fingerprint_sql(dialect: str, table: str = "cells",
                     id_col: str = "doc_id", text: str = "text") -> str:
     """Rolling-hash document fingerprint:

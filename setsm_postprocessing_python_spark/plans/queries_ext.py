@@ -50,6 +50,13 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang_pred")
 
 
+def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram-profile language-ID (the n-gram heuristic variant)."""
+    df = T.with_langid_ngram(P.pages(spark, sf_dir))
+    return df.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     "lang_pred_ngram")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = P.pages(spark, sf_dir)
     df.createOrReplaceTempView("_fp_pages")
@@ -280,6 +287,9 @@ ORACLES: dict[str, str] = {
     "q_langid": _with_cells(
         f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         f"{T.langid_expr(_DD)} AS lang_pred FROM cells"),
+    "q_langid_ngram": _with_cells(
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"{T.langid_ngram_expr(_DD)} AS lang_pred_ngram FROM cells"),
     "q_fingerprint": _with_cells(
         T.fingerprint_sql(_DD, "cells").replace(
             "SELECT doc_id,", "SELECT CAST(doc_id AS BIGINT) AS doc_id,")),
@@ -507,6 +517,7 @@ QUERIES = {
     "q_hex_knn": q_hex_knn,                # rows-only (hex k-ring kNN)
     "q_quality": q_quality,
     "q_langid": q_langid,
+    "q_langid_ngram": q_langid_ngram,
     "q_fingerprint": q_fingerprint,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_minhash_lsh": q_minhash_lsh,
