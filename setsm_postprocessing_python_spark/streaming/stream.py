@@ -47,6 +47,26 @@ def crawl_rate(stream: DataFrame, window: str = "10 minutes",
             .select(F.col("w.start").alias("window_start"), "lang", "n_pages"))
 
 
+def write_tile_counts_exactly_once(stream_counts: DataFrame, out_dir: str,
+                                   checkpoint_dir: str):
+    """foreachBatch sink with exactly-once semantics: each micro-batch is
+    written to a batch-id-named subdirectory with overwrite, so replays of
+    a failed batch (Structured Streaming re-runs the last uncommitted
+    batch after restart) rewrite the same path instead of duplicating —
+    the streaming form of the manifest's idempotent-unit rule. Readers
+    see out_dir/batch_id=*/ as one parquet table."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (df.withColumn("batch_id", F.lit(batch_id))
+           .write.mode("overwrite")
+           .parquet(f"{out_dir}/batch_id={batch_id}"))
+
+    return (stream_counts.writeStream
+            .foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir))
+
+
 def incremental_tile_counts(stream: DataFrame, window: str = "10 minutes",
                             watermark: str = "1 hour") -> DataFrame:
     """Streaming version of the mosaic-tile rollup: geocode + quadkey tile

@@ -58,3 +58,31 @@ def test_incremental_tile_counts(spark, pages_dir):
     rows = spark.sql("select * from tile_sink").collect()
     assert sum(r.n_pages for r in rows) == 1000
     assert all(r.tile_id.startswith("q") and len(r.tile_id) == 5 for r in rows)
+
+
+def test_foreachbatch_exactly_once_sink(spark, pages_dir, tmp_path):
+    """Batch replay writes the same path (no duplicates): run the stream
+    twice against the same checkpoint; second run is a no-op, output rows
+    stay consistent with the input."""
+    import pyspark.sql.functions as F
+
+    from setsm_postprocessing_python_spark.streaming.stream import (
+        write_tile_counts_exactly_once)
+
+    out = str(tmp_path / "tiles_out")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):  # second start replays from checkpoint -> no new data
+        stream = read_pages_stream(spark, pages_dir)
+        counts = (stream.withWatermark("warc_ts", "1 hour")
+                  .groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
+        q = (write_tile_counts_exactly_once(counts, out, ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    final = spark.read.parquet(out)
+    # per (batch, lang) counts; the latest batch per lang carries the total
+    rows = final.collect()
+    latest = {}
+    for r in rows:
+        if r.lang not in latest or r.batch_id > latest[r.lang].batch_id:
+            latest[r.lang] = r
+    assert sum(r.n for r in latest.values()) == 1000
