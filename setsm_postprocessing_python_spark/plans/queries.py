@@ -40,10 +40,18 @@ def q_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP tile assignment against broadcast quad-tree rectangles (pandas
-    UDF path — the general-geometry engine path)."""
+    UDF path — the general-geometry engine path), cross-checked in the same
+    output against the JVM quadkey fast path: the golden-file set compare
+    (diff_stripmeta analogue, testing/validation/stripmeta/diff_stripmeta.py:
+    42-51) — tiles_match must be uniformly true, and the oracle hash fails
+    if the two engine paths ever diverge."""
     df = P.geocoded_pages(spark, sf_dir)
     tiles = OT.fixed_depth_tiles(D.TILE_DEPTH)
-    return OT.assign_tiles_pip(df, tiles).select("url", "tile_id")
+    pip = OT.assign_tiles_pip(df, tiles).select("url", "tile_id")
+    qk = OT.assign_tiles_quadkey(df).select("url", F.col("tile_id").alias("tile_qk"))
+    return (pip.join(qk, "url")
+            .select("url", "tile_id", "tile_qk",
+                    (F.col("tile_id") == F.col("tile_qk")).alias("tiles_match")))
 
 
 def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,8 +68,13 @@ def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-ring kNN join (k=3, ring=1) — blocked-halo scale path (proven
     row-identical to the naive 9x k-ring explode; the oracle SQL uses the
-    naive formulation)."""
-    df = P.geocoded_pages(spark, sf_dir)
+    naive formulation). Runs on the coarse 5-degree kNN cells so the driver
+    comparison covers real neighbor pairs (at sf0.01 the fine grid is too
+    sparse for any ring-1 neighbor — a 0-row match proves nothing)."""
+    df = (P.geocoded_pages(spark, sf_dir)
+          .withColumn("cell_x", F.expr(D.knn_cell_x_expr()))
+          .withColumn("cell_y", F.expr(D.knn_cell_y_expr()))
+          .withColumn("cell", F.expr(D.cell_id_from_xy())))
     return OK.knn_join_blocked(df, k=3, ring=1).select(
         "url_a", "url_b", F.col("rank").alias("knn_rank"))
 
@@ -114,27 +127,30 @@ ORACLES: dict[str, str] = {
         "SELECT url, CAST(doc_id AS BIGINT) AS doc_id, lat, lon, "
         "cell_x, cell_y, cell FROM cells"),
     "q_tile_assign": _with_cells(
-        f"SELECT url, {D.quadkey_expr(_DD)} AS tile_id FROM cells"),
+        f"""SELECT url, {D.quadkey_expr(_DD)} AS tile_id,
+            {D.quadkey_expr(_DD)} AS tile_qk, TRUE AS tiles_match FROM cells"""),
     "q_tile_counts": _with_cells(
         f"""SELECT tile_id, CAST(count(*) AS BIGINT) AS n_pages,
             CAST(count(DISTINCT group_id) AS BIGINT) AS n_hosts
             FROM (SELECT {D.quadkey_expr(_DD)} AS tile_id, group_id FROM cells)
             GROUP BY tile_id"""),
     "q_knn": _with_cells(
-        """SELECT url_a, url_b, knn_rank FROM (
+        f"""SELECT url_a, url_b, knn_rank FROM (
              SELECT a.url AS url_a, b.url AS url_b,
                     row_number() OVER (
                       PARTITION BY a.url
                       ORDER BY (a.lat-b.lat)*(a.lat-b.lat)
                              + (a.lon-b.lon)*(a.lon-b.lon) ASC, b.url ASC
                     ) AS knn_rank
-             FROM cells a CROSS JOIN offs o
-             JOIN cells b
-               ON (a.cell_y + o.dy) * 131072 + (a.cell_x + o.dx)
-                  = b.cell_y * 131072 + b.cell_x
+             FROM kc a CROSS JOIN offs o
+             JOIN kc b
+               ON (a.kcy + o.dy) * 131072 + (a.kcx + o.dx)
+                  = b.kcy * 131072 + b.kcx
              WHERE a.url <> b.url
            ) WHERE knn_rank <= 3""",
-        extra_ctes=D.ring_offsets_values(1)),
+        extra_ctes=D.ring_offsets_values(1)
+        + f""", kc AS (SELECT url, lat, lon, {D.knn_cell_x_expr()} AS kcx,
+                       {D.knn_cell_y_expr()} AS kcy FROM cells)"""),
     "q_flags": _with_cells(
         f"SELECT url, {D.flags_expr(_DD)} AS flags FROM cells"),
     "q_mask_filter": _with_cells(

@@ -125,6 +125,22 @@ def cell_id_from_xy(cell_x: str = "cell_x", cell_y: str = "cell_y") -> str:
     return f"({cell_y} * {LON_CELL_STRIDE} + {cell_x})"
 
 
+# Coarse 5-degree cells for the kNN join queries: at driver scale (sf0.01,
+# 500 pages) the 0.005-degree grid is so sparse that no two pages share a
+# k-ring — the oracle comparison would be vacuous (0 rows == 0 rows). The
+# kNN OPERATOR is resolution-agnostic (it takes any cell_x/cell_y); the
+# registered query exercises it at a resolution where neighbor pairs exist.
+KNN_CELLS_PER_DEG = 0.2  # 5-degree cells
+
+
+def knn_cell_y_expr(lat: str = "lat") -> str:
+    return f"cast(floor(({lat} + 90.0) * {KNN_CELLS_PER_DEG}) as bigint)"
+
+
+def knn_cell_x_expr(lon: str = "lon") -> str:
+    return f"cast(floor(({lon} + 180.0) * {KNN_CELLS_PER_DEG}) as bigint)"
+
+
 # ---------------------------------------------------------------------------
 # quadkey tile id (oracle form of the PIP tile assignment)
 # ---------------------------------------------------------------------------
@@ -226,6 +242,31 @@ def ring_offsets_values(ring: int = 1) -> str:
         for dy in range(-ring, ring + 1) for dx in range(-ring, ring + 1)
     )
     return f"offs(dx, dy) AS (VALUES {vals})"
+
+
+def version_expr(dialect: str, doc_id: str = "doc_id") -> str:
+    """Deterministic semantic version string per doc ('M.m.p' with m up to
+    two digits so lexicographic and semantic order genuinely diverge —
+    '0.9.x' sorts after '0.19.x' lexicographically). The VersionString
+    analogue (reference lib/script_utils.py:73-213)."""
+    maj = _str(f"({doc_id} % 4)", dialect)
+    mino = _str(f"(({doc_id} * 7) % 25)", dialect)
+    pat = _str(f"(({doc_id} * 13) % 10)", dialect)
+    if dialect == SPARK:
+        return f"concat({maj}, '.', {mino}, '.', {pat})"
+    return f"({maj} || '.' || {mino} || '.' || {pat})"
+
+
+def scene_xml_expr(dialect: str) -> str:
+    """Per-page scene-metadata XML (the .xml sidecar analogue the reference
+    parses with xml.etree, lib/filter_scene.py:1876-1892)."""
+    did = _str("doc_id", dialect)
+    nch = _str("n_chars", dialect)
+    if dialect == SPARK:
+        return ("concat('<scene><id>', " + did + ", '</id><lang>', lang,"
+                " '</lang><n>', " + nch + ", '</n></scene>')")
+    return ("('<scene><id>' || " + did + " || '</id><lang>' || lang ||"
+            " '</lang><n>' || " + nch + " || '</n></scene>')")
 
 
 def flags_expr(dialect: str, text: str = "text", n_chars: str = "n_chars") -> str:
