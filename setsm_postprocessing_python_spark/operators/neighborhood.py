@@ -197,6 +197,79 @@ def interp_shifted(df: DataFrame, value: str, dx_cells: float,
                      .otherwise(F.lit(None)).alias("v_shifted")))
 
 
+def central_gradient(df: DataFrame, value: str) -> DataFrame:
+    """Central-difference gradient + grade of the per-cell mean value field
+    — the slope predicate's kernel (reference lib/filter_scene.py:1246-1263:
+    grade = hypot(gradient(dem)), mean-slope gate flags bad edges).
+
+    gx = (v(x+1) - v(x-1)) / 2, gy = (v(y+1) - v(y-1)) / 2,
+    grade = sqrt(gx^2 + gy^2); cells missing any of the 4 axis neighbors
+    yield NULL (boundary NaN semantics, np.gradient edge rows discarded).
+
+    One scatter shuffle (4 rows per occupied cell, after the per-cell
+    partial agg), conditional-agg gather, join back to occupied — no
+    N-way self-join, partial aggregation map-side combines.
+    Output: (cell, gx, gy, grade)."""
+    per_cell = df.groupBy("cell", "cell_x", "cell_y").agg(
+        F.sum(F.col(value).cast("double")).alias("s"),
+        F.count(value).alias("n"))
+    per_cell = per_cell.withColumn("v", F.col("s") / F.col("n"))
+    dirs = [("vl", 1, 0), ("vr", -1, 0), ("vd", 0, 1), ("vu", 0, -1)]
+    arr = F.array(*[
+        F.struct(F.lit(r).alias("role"), F.lit(dx).alias("dx"),
+                 F.lit(dy).alias("dy"))
+        for r, dx, dy in dirs
+    ])
+    scattered = (per_cell.withColumn("_o", F.explode(arr))
+                 .select(((F.col("cell_y") + F.col("_o.dy")) * D.LON_CELL_STRIDE
+                          + (F.col("cell_x") + F.col("_o.dx"))).alias("target_cell"),
+                         F.col("_o.role").alias("role"), "v"))
+    gathered = scattered.groupBy("target_cell").agg(
+        *[F.max(F.when(F.col("role") == r, F.col("v"))).alias(r)
+          for r, _, _ in dirs])
+    occ = per_cell.select(F.col("cell").alias("target_cell"))
+    gx = (F.col("vr") - F.col("vl")) / 2.0
+    gy = (F.col("vu") - F.col("vd")) / 2.0
+    return (gathered.join(occ, "target_cell")
+            .select(F.col("target_cell").alias("cell"),
+                    gx.alias("gx"), gy.alias("gy"),
+                    F.sqrt(gx * gx + gy * gy).alias("grade")))
+
+
+def bilinear_downsample(df: DataFrame, value: str, factor: int = 4) -> DataFrame:
+    """Value-interpolating imresize down-resample (bilinear, align-centers,
+    no antialias) — the interpolating-resize path of the reference's
+    imresize (lib/raster_array_tools.py:766-979); the nearest-up and
+    mean-rollup variants are separate operators (q_upsample_nearest,
+    q_pyramid).
+
+    Target cell t samples the source mean-value field at source coordinate
+    factor*t + (factor-1)/2; for even factors that is midway between the two
+    central source cells per axis — a genuine 4-tap bilinear with weights
+    1/4. Targets missing any tap -> NULL (NaN propagation). Implemented as
+    filter + single groupBy (the 4 taps of a target are exactly the source
+    cells with coord % factor in {factor/2-1, factor/2}).
+    Output: (cell = packed target id, z_resized)."""
+    assert factor % 2 == 0 and factor >= 2
+    half = factor // 2
+    per_cell = df.groupBy("cell", "cell_x", "cell_y").agg(
+        F.sum(F.col(value).cast("double")).alias("s"),
+        F.count(value).alias("n"))
+    per_cell = per_cell.withColumn("v", F.col("s") / F.col("n"))
+    tx = F.floor(F.col("cell_x") / factor)
+    ty = F.floor(F.col("cell_y") / factor)
+    taps = per_cell.where(
+        (F.col("cell_x") % factor).isin(half - 1, half)
+        & (F.col("cell_y") % factor).isin(half - 1, half))
+    contrib = taps.groupBy(tx.alias("tx"), ty.alias("ty")).agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("ntap"))
+    targets = per_cell.select(tx.alias("tx"), ty.alias("ty")).distinct()
+    out = targets.join(contrib, ["tx", "ty"], "left")
+    return out.select(
+        (F.col("ty") * D.LON_CELL_STRIDE + F.col("tx")).alias("cell"),
+        F.when(F.col("ntap") == 4, F.col("sv") / 4.0).alias("z_resized"))
+
+
 def ring_entropy(df: DataFrame, category: str = "lang", ring: int = 1) -> DataFrame:
     """Shannon entropy (bits) of a categorical column over each occupied
     cell's k-ring (entropyfilt analogue, lib/raster_array_tools.py:2541-2750,

@@ -194,27 +194,74 @@ def assign_polygons_pip(df: DataFrame, polys: dict[str, np.ndarray],
 # adaptive quad-tree (split while count > max_pages)
 # ---------------------------------------------------------------------------
 
+def tile_from_key(tile_id: str) -> Tile:
+    """Rebuild a Tile's rectangle by walking the quadkey digits from ROOT."""
+    t = ROOT
+    for d in tile_id[1:]:
+        t = _children(t)[int(d)]
+    return t
+
+
+def adaptive_leaf_map(df: DataFrame, max_pages: int, max_depth: int = 12,
+                      lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Distributed adaptive quad-tree: (qk_deep, tile_id) leaf mapping.
+
+    Split-while-count>max_pages is equivalent (subtree counts are monotone
+    non-increasing with depth) to: a page's leaf = its SHORTEST quadkey
+    prefix whose subtree count <= max_pages, depth-capped at max_depth.
+    Execution: one groupBy on the max-depth quadkey (the only scan of the
+    big table), then per-level prefix rollups of that small key table, one
+    explode+join+min-agg to pick each deep key's leaf level. No driver-side
+    count folding — the old formulation collected every max-depth count and
+    folded subtree sums quadratically on the driver."""
+    keys = (df.select(F.expr(D.quadkey_expr(D.SPARK, lat, lon, max_depth))
+                      .alias("qk"))
+            .groupBy("qk").agg(F.count(F.lit(1)).alias("n")))
+    # per-level counts: successive rollups of the (small) key table
+    lvl_counts = keys.select(F.lit(max_depth).alias("lvl"),
+                             F.col("qk").alias("pfx"), "n")
+    cur = keys
+    for lvl in range(max_depth - 1, -1, -1):
+        cur = (cur.groupBy(F.substring("qk", 1, lvl + 1).alias("qk"))
+               .agg(F.sum("n").alias("n")))
+        lvl_counts = lvl_counts.unionByName(
+            cur.select(F.lit(lvl).alias("lvl"), F.col("qk").alias("pfx"), "n"))
+    # each deep key exploded to its prefix chain; leaf level = first level
+    # whose count fits (NULL -> depth cap)
+    prefixes = F.transform(
+        F.sequence(F.lit(0), F.lit(max_depth)),
+        lambda i: F.struct(i.alias("lvl"),
+                           F.expr("qk").substr(F.lit(1), i + 1).alias("pfx")))
+    kx = (keys.select("qk", F.explode(prefixes).alias("p"))
+          .select("qk", F.col("p.lvl").alias("lvl"), F.col("p.pfx").alias("pfx")))
+    leaf = (kx.join(lvl_counts, ["lvl", "pfx"])
+            .groupBy("qk")
+            .agg(F.min(F.when(F.col("n") <= max_pages, F.col("lvl")))
+                 .alias("leaf_lvl")))
+    leaf = leaf.withColumn("leaf_lvl",
+                           F.coalesce("leaf_lvl", F.lit(max_depth)))
+    return leaf.select(
+        "qk", F.expr("substring(qk, 1, leaf_lvl + 1)").alias("tile_id"))
+
+
 def adaptive_tiles(df: DataFrame, max_pages: int, max_depth: int = 12,
                    lat: str = "lat", lon: str = "lon") -> list[Tile]:
-    """Coarse-then-refine tiling: the analogue of the reference's 8 m
-    mask-resolution strategy (lib/filter_scene.py:489-492) applied to tile
-    splitting. One distributed agg per refinement level; the driver holds
-    only tile counts (small). Deterministic for a given input."""
-    # one pass: count pages per max-depth quadkey, then fold up driver-side
-    counts = (
-        df.select(F.expr(D.quadkey_expr(D.SPARK, lat, lon, max_depth)).alias("qk"))
-        .groupBy("qk").count().collect()
-    )
-    cnt = {r["qk"]: r["count"] for r in counts}
-
-    def subtree_count(prefix: str) -> int:
-        return sum(v for k, v in cnt.items() if k.startswith(prefix))
-
+    """Adaptive tiling, Tile-list form for the PIP path: the analogue of
+    the reference's coarse-then-refine strategy (lib/filter_scene.py:
+    489-492) applied to tile splitting. The leaf computation is fully
+    distributed (adaptive_leaf_map); only the distinct NON-EMPTY leaf ids
+    (bounded by ~page_count/max_pages) reach the driver — plus their empty
+    sibling leaves, reconstructed driver-side so the tile set still tiles
+    the plane like the split tree does."""
+    occupied = sorted(r[0] for r in
+                      adaptive_leaf_map(df, max_pages, max_depth, lat, lon)
+                      .select("tile_id").distinct().collect())
+    split_ids = {t[:lvl] for t in occupied for lvl in range(1, len(t))}
     out: list[Tile] = []
     frontier = [ROOT]
     while frontier:
         t = frontier.pop()
-        if t.depth < max_depth and subtree_count(t.tile_id) > max_pages:
+        if t.tile_id in split_ids:
             frontier.extend(_children(t))
         else:
             out.append(t)

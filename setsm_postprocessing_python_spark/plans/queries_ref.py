@@ -41,19 +41,72 @@ _BLOCKS_CTE = (
 # morphology (imdilate/imerode/bwboundaries/range filter)
 # ---------------------------------------------------------------------------
 
-def q_imdilate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary dilation radius 1 (lib/raster_array_tools.py:2270-2403)."""
-    return MO.imdilate(_blocks(spark, sf_dir)).select("cell")
+def q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """imdilate + imerode + bwboundaries in one oracle-checked output over
+    the occupied coarse-block mask (lib/raster_array_tools.py:2270-2403
+    dilate/erode; :2441-2538 boundary = occupied != eroded). Rows = the
+    radius-1 dilated set; flags mark occupied / eroded / boundary, so all
+    three operators are hash-compared at once."""
+    blocks = _blocks(spark, sf_dir)
+    dil = MO.imdilate(blocks).select("cell")
+    er = MO.imerode(blocks).select("cell").withColumn("_er", F.lit(True))
+    occ = blocks.select("cell").withColumn("_occ", F.lit(True))
+    out = (dil.join(occ, "cell", "left").join(er, "cell", "left")
+           .select("cell",
+                   F.coalesce("_occ", F.lit(False)).alias("is_occupied"),
+                   F.coalesce("_er", F.lit(False)).alias("is_eroded")))
+    return out.withColumn("is_boundary",
+                          F.col("is_occupied") & ~F.col("is_eroded"))
 
 
-def q_imerode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary erosion radius 1 (MATLAB-edge behavior: full-neighborhood)."""
-    return MO.imerode(_blocks(spark, sf_dir)).select("cell")
+SLOPE_STEEP = 15.0
 
 
-def q_bwboundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-cell boundary: occupied != eroded (lib/raster_array_tools.py:2441-2538)."""
-    return MO.bwboundaries(_blocks(spark, sf_dir)).select("cell")
+def q_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slope/gradient predicate (lib/filter_scene.py:1246-1263: grade =
+    hypot(gradient(dem)); mean-slope>threshold flags bad edge scenes):
+    central-difference gradient of the per-block mean z field, NULL where
+    the 4-neighborhood is incomplete."""
+    from ..operators.neighborhood import central_gradient
+
+    df = (P.geocoded_pages(spark, sf_dir)
+          .withColumn("z", F.expr(D.z_expr(D.SPARK)))
+          .select(F.expr(D.block_x_expr(D.SPARK)).alias("cell_x"),
+                  F.expr(D.block_y_expr(D.SPARK)).alias("cell_y"), "z")
+          .withColumn("cell", F.expr(D.cell_id_from_xy())))
+    out = central_gradient(df, "z")
+    # boundary cells (NULL grade) are not steep: coalesce false so the
+    # boolean stays non-null (NULL booleans pandas-normalize differently
+    # across engines)
+    return out.select("cell", F.round("grade", 6).alias("grade"),
+                      F.coalesce(F.col("grade") > SLOPE_STEEP, F.lit(False))
+                       .alias("is_steep"))
+
+
+def q_fill_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary_fill_holes / clean_mask complement pass over the occupied
+    coarse-block mask (lib/raster_array_tools.py:2516,
+    lib/filter_scene.py:1691-1722). The DuckDB oracle is an INDEPENDENT
+    formulation: recursive border-flood over the complement, vs the
+    engine's min-label CC + border-component subtraction."""
+    from ..operators.components import fill_holes
+
+    return fill_holes(_blocks(spark, sf_dir)).select("cell", "was_hole")
+
+
+def q_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-interpolating imresize down-resample (bilinear taps, factor 4)
+    over the per-block mean z field (lib/raster_array_tools.py:766-979);
+    incomplete taps -> NULL."""
+    from ..operators.neighborhood import bilinear_downsample
+
+    df = (P.geocoded_pages(spark, sf_dir)
+          .withColumn("z", F.expr(D.z_expr(D.SPARK)))
+          .select(F.expr(D.block_x_expr(D.SPARK)).alias("cell_x"),
+                  F.expr(D.block_y_expr(D.SPARK)).alias("cell_y"), "z")
+          .withColumn("cell", F.expr(D.cell_id_from_xy())))
+    out = bilinear_downsample(df, "z", factor=4)
+    return out.select("cell", F.round("z_resized", 6).alias("z_resized"))
 
 
 def q_ring_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,39 +221,70 @@ def q_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_meta").cast("bigint").alias("sum_n"))
 
 
-def q_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content checksum per group (gdalinfo -checksum analogue,
-    batch_check_setsm.py:2089-2096): order-insensitive md5-derived sum."""
-    df = P.pages(spark, sf_dir)
-    return df.groupBy("group_id").agg(
-        F.expr(f"cast(sum({D.hex8_i64('text', 1, D.SPARK)}) as bigint)")
-            .alias("checksum"),
-        F.count(F.lit(1)).alias("n_rows"))
-
-
 # ---------------------------------------------------------------------------
-# set ops / sorts / rollups
+# set ops / sorts / rollups / scalar parity #2
 # ---------------------------------------------------------------------------
 
-def q_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Remaining-set difference (remaining -= mosaicked,
-    batch_scenes2strips.py:1438): pages minus the flagged set, per group."""
+def q_group_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group QC census merging three reference set/agg operators into
+    one oracle-checked output: remaining-set difference as a real anti-join
+    (remaining -= mosaicked, batch_scenes2strips.py:1438), distinct-version
+    census (collect_set + agreement check, batch_scenes2strips.py:
+    1112-1165), and the order-insensitive content checksum (gdalinfo
+    -checksum analogue, batch_check_setsm.py:2089-2096)."""
     from ..operators.flags import with_flags
 
     df = with_flags(P.pages(spark, sf_dir))
     flagged = df.where(F.col("flags") > 0).select("url")
-    remaining = df.join(flagged, "url", "left_anti")
-    return remaining.groupBy("group_id").agg(
-        F.count(F.lit(1)).alias("n_remaining"))
-
-
-def q_version_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-version census per group (collect_set + agreement check,
-    batch_scenes2strips.py:1112-1165): sorted distinct langs as a string."""
-    df = P.pages(spark, sf_dir)
-    return df.groupBy("group_id").agg(
+    remaining = (df.join(flagged, "url", "left_anti")
+                 .groupBy("group_id")
+                 .agg(F.count(F.lit(1)).alias("n_remaining")))
+    census = df.groupBy("group_id").agg(
         F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
-        F.countDistinct("lang").alias("n_langs"))
+        F.countDistinct("lang").alias("n_langs"),
+        F.expr(f"cast(sum({D.hex8_i64('text', 1, D.SPARK)}) as bigint)")
+            .alias("checksum"),
+        F.count(F.lit(1)).alias("n_pages"))
+    return (census.join(remaining, "group_id", "left")
+            .select("group_id",
+                    F.coalesce("n_remaining", F.lit(0)).cast("bigint")
+                     .alias("n_remaining"),
+                    "langs", "n_langs", "checksum", "n_pages"))
+
+
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readFromXml scene-metadata parse (lib/filter_scene.py:1876-1892,
+    xml minidom getElementsByTagName): synthesize the .xml sidecar string,
+    extract typed fields with Spark's JVM xpath_string/xpath_long. The
+    DuckDB oracle extracts the same fields by regexp — an independent
+    implementation of the parse."""
+    df = P.pages(spark, sf_dir).withColumn(
+        "xml", F.expr(D.scene_xml_expr(D.SPARK)))
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr("xpath_string(xml, '/scene/lang')").alias("xml_lang"),
+        F.expr("xpath_long(xml, '/scene/n')").alias("xml_n"))
+
+
+def q_version_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionString semantic sort/compare (lib/script_utils.py:73-213):
+    parse 'M.m.p', rank numerically per group. Output: the semantic max
+    version, the lexicographic max (which genuinely diverges once minor
+    reaches two digits), and the distinct-version count."""
+    df = P.pages(spark, sf_dir).withColumn(
+        "ver", F.expr(D.version_expr(D.SPARK)))
+    parts = (df.withColumn("maj", F.expr("cast(split(ver, '[.]')[0] as int)"))
+             .withColumn("mino", F.expr("cast(split(ver, '[.]')[1] as int)"))
+             .withColumn("pat", F.expr("cast(split(ver, '[.]')[2] as int)")))
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("maj").desc(), F.col("mino").desc(), F.col("pat").desc(),
+        F.col("ver").desc())
+    sem = (parts.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+           .select("group_id", F.col("ver").alias("v_latest")))
+    agg = df.groupBy("group_id").agg(
+        F.max("ver").alias("v_latest_lex"),
+        F.countDistinct("ver").alias("n_versions"))
+    return sem.join(agg, "group_id")
 
 
 def q_top_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,42 +382,20 @@ def q_crawl_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("delta").cast("bigint").alias("max_delta"))
 
 
-def q_golden_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Golden-output diff (diff_stripmeta analogue,
-    testing/validation/stripmeta/diff_stripmeta.py:42-51): the PIP tile
-    path and the quadkey arithmetic path must assign identically — output
-    = the mismatch set, expected EMPTY."""
-    from ..operators.tiles import assign_tiles_pip, assign_tiles_quadkey, fixed_depth_tiles
-
-    df = P.geocoded_pages(spark, sf_dir)
-    pip = assign_tiles_pip(df, fixed_depth_tiles()).select(
-        "url", F.col("tile_id").alias("tile_pip"))
-    qk = assign_tiles_quadkey(df).select("url", F.col("tile_id").alias("tile_qk"))
-    return (pip.join(qk, "url")
-            .where(F.col("tile_pip") != F.col("tile_qk"))
-            .select("url", "tile_pip", "tile_qk"))
-
-
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
 
 ORACLES: dict[str, str] = {
-    "q_imdilate": _with_cells(
-        """SELECT DISTINCT (b.by + o.dy) * 131072 + (b.bx + o.dx) AS cell
-           FROM blocks b CROSS JOIN offs o""",
-        extra_ctes=_BLOCKS_CTE + ", " + D.ring_offsets_values(1)),
-    "q_imerode": _with_cells(
-        """SELECT v.cell FROM (
-             SELECT (b.by + o.dy) * 131072 + (b.bx + o.dx) AS cell,
-                    count(*) AS nv
-             FROM blocks b CROSS JOIN offs o GROUP BY 1
-           ) v JOIN (SELECT by * 131072 + bx AS cell FROM blocks) occ
-             ON v.cell = occ.cell
-           WHERE v.nv = 9""",
-        extra_ctes=_BLOCKS_CTE + ", " + D.ring_offsets_values(1)),
-    "q_bwboundaries": _with_cells(
-        """SELECT occ.cell FROM (SELECT by * 131072 + bx AS cell FROM blocks) occ
+    "q_morphology": _with_cells(
+        """SELECT d.cell,
+                  (o.cell IS NOT NULL) AS is_occupied,
+                  (e.cell IS NOT NULL) AS is_eroded,
+                  (o.cell IS NOT NULL AND e.cell IS NULL) AS is_boundary
+           FROM (SELECT DISTINCT (b.by + o.dy) * 131072 + (b.bx + o.dx) AS cell
+                 FROM blocks b CROSS JOIN offs o) d
+           LEFT JOIN (SELECT by * 131072 + bx AS cell FROM blocks) o
+             ON d.cell = o.cell
            LEFT JOIN (
              SELECT v.cell FROM (
                SELECT (b.by + o.dy) * 131072 + (b.bx + o.dx) AS cell,
@@ -342,9 +404,51 @@ ORACLES: dict[str, str] = {
              ) v JOIN (SELECT by * 131072 + bx AS cell FROM blocks) o2
                ON v.cell = o2.cell
              WHERE v.nv = 9
-           ) er ON occ.cell = er.cell
-           WHERE er.cell IS NULL""",
+           ) e ON d.cell = e.cell""",
         extra_ctes=_BLOCKS_CTE + ", " + D.ring_offsets_values(1)),
+    "q_slope": _with_cells(
+        """SELECT g.cell,
+                  round(sqrt(((g.vr - g.vl) / 2) * ((g.vr - g.vl) / 2)
+                           + ((g.vu - g.vd) / 2) * ((g.vu - g.vd) / 2)), 6)
+                    AS grade,
+                  coalesce(sqrt(((g.vr - g.vl) / 2) * ((g.vr - g.vl) / 2)
+                      + ((g.vu - g.vd) / 2) * ((g.vu - g.vd) / 2)) > 15.0,
+                      FALSE) AS is_steep
+           FROM (
+             SELECT sc.cell,
+                    max(CASE WHEN sc.role = 'vl' THEN sc.v END) AS vl,
+                    max(CASE WHEN sc.role = 'vr' THEN sc.v END) AS vr,
+                    max(CASE WHEN sc.role = 'vu' THEN sc.v END) AS vu,
+                    max(CASE WHEN sc.role = 'vd' THEN sc.v END) AS vd
+             FROM (
+               SELECT (p.cell_y + d.dy) * 131072 + (p.cell_x + d.dx) AS cell,
+                      d.role, p.s / p.n AS v
+               FROM (SELECT cell_x, cell_y, sum(z) AS s, count(*) AS n
+                     FROM zb GROUP BY 1, 2) p
+               CROSS JOIN dirs d
+             ) sc GROUP BY sc.cell
+           ) g JOIN (SELECT DISTINCT cell_y * 131072 + cell_x AS cell FROM zb)
+             occ ON g.cell = occ.cell""",
+        extra_ctes="dirs(role, dx, dy) AS (VALUES ('vl', 1, 0), ('vr', -1, 0),"
+        " ('vd', 0, 1), ('vu', 0, -1)), "
+        f"zb AS (SELECT (cell_x >> 12) AS cell_x, (cell_y >> 12) AS cell_y, "
+        f"{D.z_expr(_DD)} AS z FROM cells)"),
+    "q_resize_bilinear": _with_cells(
+        """SELECT t.ty * 131072 + t.tx AS cell,
+                  round(CASE WHEN c.ntap = 4 THEN c.sv / 4.0 END, 6)
+                    AS z_resized
+           FROM (SELECT DISTINCT CAST(floor(bx / 4) AS BIGINT) AS tx,
+                        CAST(floor(by / 4) AS BIGINT) AS ty FROM p) t
+           LEFT JOIN (
+             SELECT CAST(floor(bx / 4) AS BIGINT) AS tx,
+                    CAST(floor(by / 4) AS BIGINT) AS ty,
+                    sum(v) AS sv, count(*) AS ntap
+             FROM p WHERE (bx % 4) IN (1, 2) AND (by % 4) IN (1, 2)
+             GROUP BY 1, 2
+           ) c ON t.tx = c.tx AND t.ty = c.ty""",
+        extra_ctes=f"zb AS (SELECT (cell_x >> 12) AS bx, (cell_y >> 12) AS by, "
+        f"{D.z_expr(_DD)} AS z FROM cells), "
+        "p AS (SELECT bx, by, sum(z) / count(*) AS v FROM zb GROUP BY 1, 2)"),
     "q_ring_range": _with_cells(
         """SELECT r.cell, round(r.vrange, 6) AS vrange FROM (
              SELECT (p.by + o.dy) * 131072 + (p.bx + o.dx) AS cell,
@@ -410,20 +514,51 @@ ORACLES: dict[str, str] = {
            FROM (SELECT ('lang=' || lang || ';n=' || CAST(n_chars AS VARCHAR))
                  AS metastr FROM cells)
            GROUP BY 1"""),
-    "q_checksum": _with_cells(
-        f"""SELECT group_id,
-              CAST(sum({D.hex8_i64('text', 1, _DD)}) AS BIGINT) AS checksum,
-              CAST(count(*) AS BIGINT) AS n_rows
-            FROM cells GROUP BY group_id"""),
-    "q_set_diff": _with_cells(
-        f"""SELECT group_id, CAST(count(*) AS BIGINT) AS n_remaining
-            FROM (SELECT group_id, {D.flags_expr(_DD)} AS flags FROM cells)
-            WHERE flags = 0 GROUP BY group_id"""),
-    "q_version_census": _with_cells(
-        """SELECT group_id,
-                  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
-                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-           FROM cells GROUP BY group_id"""),
+    "q_group_census": _with_cells(
+        f"""SELECT c.group_id,
+                   CAST(coalesce(r.n_remaining, 0) AS BIGINT) AS n_remaining,
+                   c.langs, c.n_langs, c.checksum, c.n_pages
+            FROM (
+              SELECT group_id,
+                     string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                     CAST(sum({D.hex8_i64('text', 1, _DD)}) AS BIGINT)
+                       AS checksum,
+                     CAST(count(*) AS BIGINT) AS n_pages
+              FROM cells GROUP BY group_id
+            ) c LEFT JOIN (
+              SELECT group_id, CAST(count(*) AS BIGINT) AS n_remaining
+              FROM (SELECT group_id, {D.flags_expr(_DD)} AS flags FROM cells)
+              WHERE flags = 0 GROUP BY group_id
+            ) r ON c.group_id = r.group_id"""),
+    "q_xml_extract": _with_cells(
+        f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   regexp_extract(xml, '<lang>([a-z]+)</lang>', 1) AS xml_lang,
+                   CAST(regexp_extract(xml, '<n>([0-9]+)</n>', 1) AS BIGINT)
+                     AS xml_n
+            FROM (SELECT doc_id, {D.scene_xml_expr(_DD)} AS xml FROM cells)"""),
+    "q_version_sort": _with_cells(
+        """SELECT s.group_id, s.v_latest, a.v_latest_lex, a.n_versions
+           FROM (
+             SELECT group_id, ver AS v_latest FROM (
+               SELECT group_id, ver, row_number() OVER (
+                 PARTITION BY group_id
+                 ORDER BY maj DESC, mino DESC, pat DESC, ver DESC) AS rn
+               FROM v
+             ) WHERE rn = 1
+           ) s JOIN (
+             SELECT group_id, max(ver) AS v_latest_lex,
+                    CAST(count(DISTINCT ver) AS BIGINT) AS n_versions
+             FROM v GROUP BY group_id
+           ) a ON s.group_id = a.group_id""",
+        extra_ctes=f"""
+        v AS (
+          SELECT group_id, ver,
+                 CAST(string_split(ver, '.')[1] AS INT) AS maj,
+                 CAST(string_split(ver, '.')[2] AS INT) AS mino,
+                 CAST(string_split(ver, '.')[3] AS INT) AS pat
+          FROM (SELECT group_id, {D.version_expr(_DD)} AS ver FROM cells)
+        )"""),
     "q_top_hosts": _with_cells(
         """SELECT group_id, n_pages, CAST(host_rank AS INT) AS host_rank FROM (
              SELECT group_id, CAST(count(*) AS BIGINT) AS n_pages,
@@ -506,28 +641,59 @@ ORACLES["q_crawl_intervals"] = _with_cells(
          FROM cells
        ) GROUP BY group_id""")
 
-ORACLES["q_golden_diff"] = _with_cells(
-    "SELECT url, 'a' AS tile_pip, 'b' AS tile_qk FROM cells WHERE 1 = 0")
+# binary_fill_holes oracle: WITH RECURSIVE border-flood over the complement
+# (independent of the engine's min-label CC formulation)
+ORACLES["q_fill_holes"] = f"""
+WITH RECURSIVE {D.geo_ctes(_DD)},
+{_BLOCKS_CTE},
+bb AS (SELECT min(bx) - 1 AS x0, max(bx) + 1 AS x1,
+              min(by) - 1 AS y0, max(by) + 1 AS y1 FROM blocks),
+grid AS (
+  -- generate_series needs constant bounds in DuckDB; the coarse-block
+  -- space is <= 18x9 for this data model (cell_x < 72000 >> 12), so a
+  -- constant super-range filtered to the bbox is exact
+  SELECT gx.generate_series AS bx, gy.generate_series AS by
+  FROM generate_series(-1, 32) gx, generate_series(-1, 32) gy, bb
+  WHERE gx.generate_series BETWEEN bb.x0 AND bb.x1
+    AND gy.generate_series BETWEEN bb.y0 AND bb.y1
+),
+comp AS (SELECT g.bx, g.by FROM grid g
+         LEFT JOIN blocks b ON g.bx = b.bx AND g.by = b.by
+         WHERE b.bx IS NULL),
+reach AS (
+  SELECT c.bx, c.by FROM comp c, bb
+  WHERE c.bx = bb.x0 OR c.bx = bb.x1 OR c.by = bb.y0 OR c.by = bb.y1
+  UNION
+  SELECT c.bx, c.by FROM comp c JOIN reach r
+    ON abs(c.bx - r.bx) <= 1 AND abs(c.by - r.by) <= 1
+),
+holes AS (SELECT c.bx, c.by FROM comp c
+          LEFT JOIN reach r ON c.bx = r.bx AND c.by = r.by
+          WHERE r.bx IS NULL)
+SELECT by * 131072 + bx AS cell, FALSE AS was_hole FROM blocks
+UNION ALL
+SELECT by * 131072 + bx AS cell, TRUE AS was_hole FROM holes
+"""
 
 
 QUERIES = {
-    "q_imdilate": q_imdilate,
+    "q_morphology": q_morphology,
     "q_conv2": q_conv2,
     "q_interp_shift": q_interp_shift,
     "q_upsample_nearest": q_upsample_nearest,
     "q_crawl_intervals": q_crawl_intervals,
-    "q_golden_diff": q_golden_diff,
-    "q_imerode": q_imerode,
-    "q_bwboundaries": q_bwboundaries,
+    "q_slope": q_slope,
+    "q_fill_holes": q_fill_holes,
+    "q_resize_bilinear": q_resize_bilinear,
     "q_ring_range": q_ring_range,
     "q_diff_strips": q_diff_strips,
     "q_quantize": q_quantize,
     "q_dn2rad": q_dn2rad,
     "q_valid_range": q_valid_range,
     "q_meta_extract": q_meta_extract,
-    "q_checksum": q_checksum,
-    "q_set_diff": q_set_diff,
-    "q_version_census": q_version_census,
+    "q_group_census": q_group_census,
+    "q_xml_extract": q_xml_extract,
+    "q_version_sort": q_version_sort,
     "q_top_hosts": q_top_hosts,
     "q_pyramid": q_pyramid,
 }
