@@ -105,12 +105,13 @@ def hex_kring_expand(df: DataFrame, k: int = 1,
               .drop("_d"))
 
 
-def hex_knn(df: DataFrame, k_neighbors: int = 3, ring: int = 1) -> DataFrame:
+def hex_knn(df: DataFrame, k_neighbors: int = 3, ring: int = 1,
+            size: float = HEX_SIZE_DEG) -> DataFrame:
     """kNN over the hex grid: hex k-ring expansion + cell-local join +
     distance rank (north-star kNN formulation on the hex index)."""
     from pyspark.sql import Window
 
-    base = with_hex_cell(df)
+    base = with_hex_cell(df, size=size)
     a = hex_kring_expand(
         base.select(F.col("url").alias("url_a"), F.col("lat").alias("lat_a"),
                     F.col("lon").alias("lon_a"), "cell_hex"), ring)

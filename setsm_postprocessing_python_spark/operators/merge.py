@@ -64,6 +64,24 @@ def _rect_union_bounds(a, b):
     return (min(a[0], b[0]), max(a[1], b[1]), min(a[2], b[2]), max(a[3], b[3]))
 
 
+def _union_area_within(r, rects) -> float:
+    """EXACT area of rect r covered by the union of `rects` (coordinate-
+    compressed boolean grid over the clipped rectangles — axis-aligned, so
+    compression is exact; member sets are bounded, dozens per group)."""
+    clipped = [c for c in (_rect_intersect(r, m) for m in rects)
+               if c[1] > c[0] and c[3] > c[2]]
+    if not clipped:
+        return 0.0
+    xs = np.array(sorted({v for c in clipped for v in (c[0], c[1])}))
+    ys = np.array(sorted({v for c in clipped for v in (c[2], c[3])}))
+    covered = np.zeros((len(xs) - 1, len(ys) - 1), dtype=bool)
+    for x0, x1, y0, y1 in clipped:
+        i0, i1 = np.searchsorted(xs, x0), np.searchsorted(xs, x1)
+        j0, j1 = np.searchsorted(ys, y0), np.searchsorted(ys, y1)
+        covered[i0:i1, j0:j1] = True
+    return float(((np.diff(xs)[:, None] * np.diff(ys)[None, :]) * covered).sum())
+
+
 # ---------------------------------------------------------------------------
 # greedy merge ordering (orderPairs)
 # ---------------------------------------------------------------------------
@@ -129,10 +147,12 @@ def _order_group(pdf: pd.DataFrame) -> pd.DataFrame:
         remaining.remove(pick)
         r = rects[pick]
         if current is not None:
-            inter_with_members = max(
-                (_rect_area(_rect_intersect(r, rects[m])) for m in union_members),
-                default=0.0)
-            added = _rect_area(r) - inter_with_members
+            # new-footprint-area gate vs the UNION of accepted members
+            # (reference semantics, lib/scenes2strips.py:293-312): a member
+            # jointly covered by several prior members is redundant even if
+            # no single member covers it
+            covered = _union_area_within(r, [rects[m] for m in union_members])
+            added = _rect_area(r) - covered
             if added < ADD_MIN_AREA_FRAC * _rect_area(r):
                 out.append((pick, -1, segment, True))  # redundant, skipped
                 continue
@@ -176,6 +196,11 @@ def _coregister(key, a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
     ga = a["group_id"].iloc[0] if len(a) else None
     gb = b["group_id_b"].iloc[0] if len(b) else None
     pair = key[0]
+    # deterministic accumulation order: Arrow delivers rows in partition
+    # order, which varies with upstream partitioning — sort so the float
+    # means are bit-identical across sessions (golden-oracle stability)
+    a = a.sort_values(["block", "z"], ignore_index=True)
+    b = b.sort_values(["block_b", "z_b"], ignore_index=True)
     za = a.groupby("block").agg(z=("z", "mean"), x=("bx", "first"), y=("by", "first"))
     zb = b.groupby("block_b").agg(z=("z_b", "mean"))
     m = za.join(zb, how="inner", lsuffix="_a", rsuffix="_b")

@@ -166,7 +166,8 @@ def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_lists: int = 8,
 
 def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
              planes_per_table: int | None = None, id_col: str = "vec_id",
-             vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+             vec_col: str = "embedding", seed: int = 42,
+             n_hint: int | None = None) -> DataFrame:
     """Approximate top-k: candidates collide in >=1 of n_tables LSH
     tables; exact cosine re-rank within candidates. Collision probability
     for angle theta: 1 - (1 - (1-theta/pi)^P)^T — with T=8, P=4 a
@@ -176,11 +177,14 @@ def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
 
     planes_per_table defaults to log2(n / 64) clamped to >=4: average
     bucket size ~64 regardless of n, so candidate count stays ~64*T per
-    query vector instead of growing linearly with n."""
+    query vector instead of growing linearly with n. Pass n_hint (table
+    stats / parquet footer row count — e.g. pyarrow metadata.num_rows, or
+    the Iceberg snapshot summary at scale) to avoid the sizing count job;
+    the count fallback prunes to the id column only."""
     if planes_per_table is None:
         import math
 
-        n = df.count()
+        n = n_hint if n_hint is not None else df.select(id_col).count()
         planes_per_table = max(4, int(math.ceil(math.log2(max(n, 2) / 64.0))))
     base = with_lsh_buckets(df, dim, n_tables, planes_per_table, vec_col, seed)
     base = base.persist()

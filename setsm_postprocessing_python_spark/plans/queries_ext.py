@@ -33,28 +33,22 @@ def _with_cells(body: str, extra_ctes: str = "") -> str:
 # text analysis
 # ---------------------------------------------------------------------------
 
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = T.with_token_stats(P.pages(spark, sf_dir))
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish runs) and quality scoring
+    (length/diversity/stopword bands) in one oracle-checked output — both
+    operator families are pure JVM expressions over the same scan."""
+    df = T.with_quality(T.with_token_stats(P.pages(spark, sf_dir)))
     return df.select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                     "n_tokens", "n_unique", "n_bpe", "ttr_x1000")
-
-
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = T.with_quality(P.pages(spark, sf_dir))
-    return df.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     "n_tokens", "n_unique", "n_bpe", "ttr_x1000",
                      "len_score", "div_score", "sw_score", "quality")
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = T.with_langid(P.pages(spark, sf_dir))
-    return df.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang_pred")
-
-
-def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-bigram-profile language-ID (the n-gram heuristic variant)."""
-    df = T.with_langid_ngram(P.pages(spark, sf_dir))
+    """Language-ID, both variants in one output: stopword-profile argmax
+    and the char-bigram-profile n-gram heuristic."""
+    df = T.with_langid_ngram(T.with_langid(P.pages(spark, sf_dir)))
     return df.select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                     "lang_pred_ngram")
+                     "lang_pred", "lang_pred_ngram")
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,20 +113,24 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (brute-force oracle anchor — bounded-n baseline
+    only; lsh_topk/ivf_topk are the scale path) with the near-duplicate
+    threshold flag folded in (embedding near-dup at cosine >= 0.5)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SIM.brute_force_topk(emb, k=3)
-
-
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SIM.embedding_near_dup(emb, threshold=0.5)
+    out = SIM.brute_force_topk(emb, k=3)
+    return out.withColumn("is_near_dup", F.col("cosine") >= 0.5)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (rows-only driver check; recall vs brute force is
-    asserted in tests/test_similarity.py)."""
+    asserted in tests/test_coreg_similarity.py). Bucket sizing comes from
+    the parquet footer row count — no pre-job (at Iceberg scale: snapshot
+    summary stats)."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SIM.lsh_topk(emb, dim=64, k=3)
+    return SIM.lsh_topk(emb, dim=64, k=3, n_hint=n)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,7 +151,14 @@ def q_merge_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_coregister(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = P.geocoded_pages(spark, sf_dir)
-    return M.coregister_pairs(df, M.host_pair)
+    out = M.coregister_pairs(df, M.host_pair)
+    # round the LSQ floats for stable cross-run hashing (inputs are sorted
+    # deterministically inside the cogrouped UDF; rounding guards the ulp)
+    return out.select("group_a", "group_b", "n_points", "iters",
+                      F.round("dz", 6).alias("dz"),
+                      F.round("dx", 6).alias("dx"),
+                      F.round("dy", 6).alias("dy"),
+                      F.round("rmse", 6).alias("rmse"), "status")
 
 
 def q_feather_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,13 +175,17 @@ def q_feather_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # geospatial extras
 # ---------------------------------------------------------------------------
 
-def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real S2 level-13 cell ids (pure-numpy Hilbert encode in an Arrow
-    UDF; rows-only check — not SQL-expressible; invariants in tests/test_s2.py)."""
+def q_cell_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real S2 level-13 cell ids (pure-numpy Hilbert encode, Arrow UDF)
+    plus hex axial cell ids (H3-style binning) in one output. Not
+    SQL-expressible: the oracle is a committed golden parquet fixture,
+    regenerated by scripts/make_goldens.py; cell-math invariants are
+    independently tested in tests/test_s2.py and tests/test_hexgrid.py."""
+    from ..functions.hexgrid import with_hex_cell
     from ..functions.s2 import with_s2_cell
 
-    df = with_s2_cell(P.geocoded_pages(spark, sf_dir))
-    return df.select("url", "cell_s2")
+    df = with_hex_cell(with_s2_cell(P.geocoded_pages(spark, sf_dir)))
+    return df.select("url", "cell_s2", "cell_hex")
 
 
 def q_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,31 +210,34 @@ def q_ring_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cell", F.round("ring_entropy", 6).alias("ring_entropy"))
 
 
+ADAPTIVE_MAX_PAGES = 50
+ADAPTIVE_MAX_DEPTH = 8
+
+
 def q_adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adaptive quad-tree assignment (split while >max_pages; rows-only —
-    iterative tiling is not single-statement SQL)."""
+    """Adaptive quad-tree assignment (split while subtree count >
+    max_pages, depth-capped). The split tree is computed fully distributed
+    (operators/tiles.py:adaptive_leaf_map); assignment goes through the
+    broadcast-PIP path so the rectangle machinery is exercised too. The
+    oracle recomputes the equivalent shortest-fitting-prefix rule in SQL."""
     from ..operators.tiles import adaptive_tiles, assign_tiles_pip
 
     df = P.geocoded_pages(spark, sf_dir)
-    tiles = adaptive_tiles(df, max_pages=50, max_depth=8)
+    tiles = adaptive_tiles(df, max_pages=ADAPTIVE_MAX_PAGES,
+                           max_depth=ADAPTIVE_MAX_DEPTH)
     return assign_tiles_pip(df, tiles).select("url", "tile_id")
 
 
-def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hex-grid cell ids (H3-style axial binning; rows-only — numpy cube
-    rounding, invariants in tests/test_hexgrid.py)."""
-    from ..functions.hexgrid import with_hex_cell
-
-    df = with_hex_cell(P.geocoded_pages(spark, sf_dir))
-    return df.select("url", "cell_hex")
-
-
 def q_hex_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN over the hex index: hex k-ring expansion + cell-local join
-    (rows-only; cross-checked vs brute force in tests/test_hexgrid.py)."""
+    """kNN over the hex index: hex k-ring expansion + cell-local join.
+    Runs on coarse 5-degree hexes so driver-scale output is non-vacuous
+    (same rationale as q_knn). Golden-fixture oracle; operator semantics
+    cross-checked vs brute force in tests/test_hexgrid.py."""
     from ..functions.hexgrid import hex_knn
 
-    return hex_knn(P.geocoded_pages(spark, sf_dir), k_neighbors=3, ring=1)
+    out = hex_knn(P.geocoded_pages(spark, sf_dir), k_neighbors=3, ring=1,
+                  size=5.0)
+    return out.select("url_a", "url_b", F.col("rank").alias("knn_rank"))
 
 
 def q_feather_field(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,19 +288,15 @@ def _minhash_params_values() -> str:
 
 
 ORACLES: dict[str, str] = {
-    "q_token_stats": _with_cells(
+    "q_text_metrics": _with_cells(
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         + ", ".join(f"{e} AS {n}" for n, e in T.token_stats_exprs(_DD).items())
-        + " FROM cells"),
-    "q_quality": _with_cells(
-        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        + ", "
         + ", ".join(f"{e} AS {n}" for n, e in T.quality_exprs(_DD).items())
         + " FROM cells"),
     "q_langid": _with_cells(
         f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
-        f"{T.langid_expr(_DD)} AS lang_pred FROM cells"),
-    "q_langid_ngram": _with_cells(
-        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"{T.langid_expr(_DD)} AS lang_pred, "
         f"{T.langid_ngram_expr(_DD)} AS lang_pred_ngram FROM cells"),
     "q_fingerprint": _with_cells(
         T.fingerprint_sql(_DD, "cells").replace(
@@ -383,24 +391,12 @@ ORACLES: dict[str, str] = {
           FROM d a JOIN d b ON a.vec_id <> b.vec_id
         )
         SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(nbr_id AS BIGINT) AS nbr_id,
-               cosine, CAST(sim_rank AS INT) AS sim_rank FROM (
+               cosine, CAST(sim_rank AS INT) AS sim_rank,
+               (cosine >= 0.5) AS is_near_dup FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
                      ORDER BY cosine DESC, nbr_id ASC) AS sim_rank
           FROM pairs
         ) WHERE sim_rank <= 3""",
-    "q_embedding_near_dup": f"""
-        WITH d AS (
-          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings
-        )
-        SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
-               list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-               AS cosine
-        FROM d a JOIN d b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-              >= 0.5""",
     "q_feather_blend": _with_cells(
         f"""SELECT pair, block, round(w, 6) AS w, round(z_blend, 6) AS z_blend,
                    n_pages, flags_merged FROM (
@@ -502,32 +498,99 @@ ORACLES["q_ring_entropy"] = _with_cells(
     extra_ctes=D.ring_offsets_values(1))
 
 
+# adaptive quad-tree oracle: the split-while-too-big tree is equivalent to
+# "leaf = shortest prefix whose subtree count <= max_pages" (counts are
+# monotone non-increasing with depth), which IS single-statement SQL
+_ADAPT_CNTS = " UNION ALL ".join(
+    f"SELECT {lvl} AS lvl, substr(qk, 1, {lvl + 1}) AS pfx, "
+    f"CAST(count(*) AS BIGINT) AS n FROM deep GROUP BY 2"
+    for lvl in range(0, 9))
+
+ORACLES["q_adaptive_tiles"] = _with_cells(
+    f"""SELECT d.url, substr(d.qk, 1, l.ll + 1) AS tile_id
+        FROM deep d JOIN (
+          SELECT k.qk,
+                 coalesce(min(CASE WHEN c.n <= 50 THEN c.lvl END), 8) AS ll
+          FROM (SELECT DISTINCT qk FROM deep) k
+          JOIN cnts c ON c.pfx = substr(k.qk, 1, c.lvl + 1)
+          GROUP BY k.qk
+        ) l ON d.qk = l.qk""",
+    extra_ctes=f"deep AS (SELECT url, {D.quadkey_expr(_DD, depth=8)} AS qk "
+    f"FROM cells), cnts AS ({_ADAPT_CNTS})")
+
+# bwareaopen oracle: transitive-closure CC over coarse blocks via a
+# recursive CTE (independent of the engine's pointer-jumping HashMin)
+ORACLES["q_bwareaopen"] = f"""
+WITH RECURSIVE {D.geo_ctes(_DD)},
+blocks AS (SELECT DISTINCT (cell_x >> 12) AS bx, (cell_y >> 12) AS by
+           FROM cells),
+e AS (SELECT a.by * 131072 + a.bx AS u, b.by * 131072 + b.bx AS v
+      FROM blocks a JOIN blocks b
+        ON abs(a.bx - b.bx) <= 1 AND abs(a.by - b.by) <= 1),
+reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+lab AS (SELECT u AS cell, min(v) AS component FROM reach GROUP BY u),
+sz AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+       FROM lab GROUP BY component)
+SELECT l.cell, l.component, s.csize
+FROM lab l JOIN sz s ON l.component = s.component
+WHERE s.csize >= 3
+"""
+
+
+def golden_oracle(name: str, cols: str) -> str:
+    """Fixture-backed oracle for procedural operators (greedy folds,
+    iterative LSQ, numpy cell encodes): the committed golden parquet under
+    tests/fixtures/goldens/, keyed by input size so the same SQL works at
+    sf0.001 and sf0.01. Regenerate with scripts/make_goldens.py; the
+    operators' SEMANTICS are validated by independent numpy
+    cross-implementations in tests/ — the golden freezes those validated
+    outputs so the driver can hash-compare them per round."""
+    # key on sum(n_chars): sf0.001 and sf0.01 have the same row COUNT but
+    # different content, so the fixture is keyed by a content-derived scalar
+    return (f"SELECT {cols} FROM "
+            f"read_parquet('/root/repo/tests/fixtures/goldens/{name}_*.parquet') "
+            f"WHERE sf_key = (SELECT sum(n_chars) FROM documents)")
+
+
+GOLDEN_COLS = {
+    "q_cell_indexes": "url, cell_s2, cell_hex",
+    "q_footprints": "group_id, n_cells, n_vertices, hull_area, wkt",
+    "q_feather_field": "pair, block, w",
+    "q_hex_knn": "url_a, url_b, knn_rank",
+    "q_merge_order": "group_id, url, order_idx, segment_num, is_redundant",
+    "q_coregister": ("group_a, group_b, n_points, iters, dz, dx, dy, "
+                     "rmse, status"),
+}
+for _n, _c in GOLDEN_COLS.items():
+    ORACLES[_n] = golden_oracle(_n, _c)
+
+
 QUERIES = {
-    "q_token_stats": q_token_stats,
+    "q_text_metrics": q_text_metrics,
     "q_extract_text": q_extract_text,
     "q_percentile_gate": q_percentile_gate,
-    "q_s2_cells": q_s2_cells,          # rows-only (numpy Hilbert encode)
+    "q_cell_indexes": q_cell_indexes,
     "q_ring_stats": q_ring_stats,
     "q_ring_entropy": q_ring_entropy,
-    "q_adaptive_tiles": q_adaptive_tiles,  # rows-only (iterative tiling)
-    "q_bwareaopen": q_bwareaopen,          # rows-only (iterative CC)
-    "q_hex_cells": q_hex_cells,            # rows-only (numpy hex binning)
-    "q_footprints": q_footprints,          # rows-only (convex hull fold)
-    "q_feather_field": q_feather_field,    # rows-only (cogrouped BFS field)
-    "q_hex_knn": q_hex_knn,                # rows-only (hex k-ring kNN)
-    "q_quality": q_quality,
+    "q_adaptive_tiles": q_adaptive_tiles,
+    "q_bwareaopen": q_bwareaopen,
+    "q_footprints": q_footprints,
+    "q_feather_field": q_feather_field,
+    "q_hex_knn": q_hex_knn,
     "q_langid": q_langid,
-    "q_langid_ngram": q_langid_ngram,
     "q_fingerprint": q_fingerprint,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_minhash_lsh": q_minhash_lsh,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
     "q_cosine_topk": q_cosine_topk,
-    "q_embedding_near_dup": q_embedding_near_dup,
-    "q_ann_lsh": q_ann_lsh,            # rows-only (no oracle)
-    "q_ann_ivf": q_ann_ivf,            # rows-only (IVF nprobe search)
-    "q_merge_order": q_merge_order,    # rows-only (procedural greedy fold)
-    "q_coregister": q_coregister,      # rows-only (iterative LSQ)
+    "q_merge_order": q_merge_order,
+    "q_coregister": q_coregister,
     "q_feather_blend": q_feather_blend,
+    "q_ann_lsh": q_ann_lsh,            # rows-only (approximate by design)
+    "q_ann_ivf": q_ann_ivf,            # rows-only (approximate by design)
 }

@@ -49,12 +49,17 @@ def crawl_rate(stream: DataFrame, window: str = "10 minutes",
 
 def write_tile_counts_exactly_once(stream_counts: DataFrame, out_dir: str,
                                    checkpoint_dir: str):
-    """foreachBatch sink with exactly-once semantics: each micro-batch is
-    written to a batch-id-named subdirectory with overwrite, so replays of
-    a failed batch (Structured Streaming re-runs the last uncommitted
-    batch after restart) rewrite the same path instead of duplicating —
-    the streaming form of the manifest's idempotent-unit rule. Readers
-    see out_dir/batch_id=*/ as one parquet table."""
+    """foreachBatch sink with exactly-once REPLAY semantics: each
+    micro-batch is written to a batch-id-named subdirectory with overwrite,
+    so replays of a failed batch (Structured Streaming re-runs the last
+    uncommitted batch after restart) rewrite the same path instead of
+    duplicating — the streaming form of the manifest's idempotent-unit rule.
+
+    Reader contract: update mode RE-EMITS a (key) row in every batch that
+    changes it, so a naive union over out_dir/batch_id=*/ double-counts
+    keys. Read through read_exactly_once_output(), which compacts to the
+    latest batch per key — or equivalently, maintain a compacted view
+    downstream (MERGE INTO keyed on the group columns at Iceberg scale)."""
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         (df.withColumn("batch_id", F.lit(batch_id))
@@ -65,6 +70,19 @@ def write_tile_counts_exactly_once(stream_counts: DataFrame, out_dir: str,
             .foreachBatch(write_batch)
             .outputMode("update")
             .option("checkpointLocation", checkpoint_dir))
+
+
+def read_exactly_once_output(spark: SparkSession, out_dir: str,
+                             key_cols: list[str]) -> DataFrame:
+    """Compacted read of write_tile_counts_exactly_once output: the latest
+    batch_id per key wins (update-mode re-emissions superseded). One window
+    over the key — the partition column prunes if a batch filter is added."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(out_dir)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
 
 
 def incremental_tile_counts(stream: DataFrame, window: str = "10 minutes",

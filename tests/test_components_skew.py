@@ -49,6 +49,69 @@ def test_components_match_floodfill(spark):
     assert got == want
 
 
+def test_snake_component_converges_fast(spark):
+    """A 4000-cell serpentine path has graph diameter ~4000; plain HashMin
+    needs ~4000 rounds — pointer jumping must converge in <= 25 (O(log d))
+    and label every cell with the single component minimum."""
+    coords = []
+    x, y = 0, 0
+    direction = 1
+    for _ in range(4000):
+        coords.append((x, y))
+        nx = x + direction
+        if 0 <= nx < 200:
+            x = nx
+        else:
+            y += 1          # u-turn: go up one row, reverse direction
+            direction = -direction
+    df = _cells_df(spark, coords).repartition(8)
+    labels = connected_components(df, max_iter=25).collect()
+    assert len(labels) == 4000
+    assert len({r.component for r in labels}) == 1
+    assert min(r.cell for r in labels) == labels[0].component
+
+
+def test_nonconvergence_raises(spark):
+    coords = [(i, 0) for i in range(40)]  # diameter 40 > 2^1 jumps
+    df = _cells_df(spark, coords)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
+def test_fill_holes_matches_numpy(spark):
+    """Ring with an interior hole + open notch: interior filled, notch
+    (border-connected) left open — checked against a numpy border flood."""
+    rng = np.random.default_rng(7)
+    occ = {(int(x), int(y)) for x, y in rng.integers(0, 12, (80, 2))}
+    # carve a guaranteed hole: ring around (20,20)
+    ring = {(20 + dx, 20 + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)}
+    occ |= ring
+    from setsm_postprocessing_python_spark.operators.components import fill_holes
+
+    got = {(r.cell, r.was_hole) for r in fill_holes(_cells_df(spark, occ)).collect()}
+
+    # numpy oracle: flood the complement from the padded border (8-conn)
+    xs = [c[0] for c in occ]; ys = [c[1] for c in occ]
+    x0, x1, y0, y1 = min(xs) - 1, max(xs) + 1, min(ys) - 1, max(ys) + 1
+    comp = {(x, y) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)} - occ
+    frontier = [c for c in comp if c[0] in (x0, x1) or c[1] in (y0, y1)]
+    reach = set(frontier)
+    while frontier:
+        x, y = frontier.pop()
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                n = (x + dx, y + dy)
+                if n in comp and n not in reach:
+                    reach.add(n)
+                    frontier.append(n)
+    holes = comp - reach
+    want = {(y * D.LON_CELL_STRIDE + x, False) for x, y in occ} \
+        | {(y * D.LON_CELL_STRIDE + x, True) for x, y in holes}
+    assert got == want
+    assert any(h for _, h in got)  # the carved ring produced a real hole
+
+
 def test_bwareaopen_filters_small_components(spark):
     # one 5-cell line, one 2-cell pair, one isolated cell
     coords = [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0),

@@ -72,6 +72,17 @@ def test_redundant_member_skipped():
     assert inner["order_idx"] == -1
 
 
+def test_jointly_covered_member_is_redundant():
+    # 'strip' is <60% covered by either neighbor alone but >95% by their
+    # UNION -> the gate must measure union coverage, not max pairwise
+    pdf = g([("h", "a", 0.0, 2.0, 0.0, 1.0),
+             ("h", "b", 1.0, 3.0, 0.0, 1.0),
+             ("h", "strip", 0.5, 2.5, 0.2, 0.8)])
+    out = _order_group(pdf)
+    strip = out[out["url"] == "strip"].iloc[0]
+    assert strip["is_redundant"]
+
+
 def test_deterministic_under_input_order():
     rows = [("h", f"u{i}", float(i), float(i) + 1.5, 0.0, 1.0) for i in range(6)]
     a = _order_group(g(rows))

@@ -28,5 +28,15 @@ def test_entry_smoke(spark):
 
     df = E.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0  # driver contract: entry() must produce rows
     assert len(df.columns) >= 2
+
+
+def test_knn_queries_non_vacuous(spark):
+    """The kNN oracle comparisons must cover real neighbor pairs — a 0-row
+    match is no evidence for the engine's headline join (round-1 verdict)."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    assert qs["q_knn"](spark, SF_TINY).count() > 0
+    assert qs["q_hex_knn"](spark, SF_TINY).count() > 0

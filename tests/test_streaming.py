@@ -67,7 +67,9 @@ def test_foreachbatch_exactly_once_sink(spark, pages_dir, tmp_path):
     import pyspark.sql.functions as F
 
     from setsm_postprocessing_python_spark.streaming.stream import (
-        write_tile_counts_exactly_once)
+        read_exactly_once_output,
+        write_tile_counts_exactly_once,
+    )
 
     out = str(tmp_path / "tiles_out")
     ckpt = str(tmp_path / "ckpt")
@@ -78,11 +80,7 @@ def test_foreachbatch_exactly_once_sink(spark, pages_dir, tmp_path):
         q = (write_tile_counts_exactly_once(counts, out, ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination(120)
-    final = spark.read.parquet(out)
-    # per (batch, lang) counts; the latest batch per lang carries the total
-    rows = final.collect()
-    latest = {}
-    for r in rows:
-        if r.lang not in latest or r.batch_id > latest[r.lang].batch_id:
-            latest[r.lang] = r
-    assert sum(r.n for r in latest.values()) == 1000
+    # the documented reader contract: compacted latest-batch-per-key view
+    final = read_exactly_once_output(spark, out, ["lang"]).collect()
+    assert sum(r.n for r in final) == 1000
+    assert len(final) == len({r.lang for r in final})  # one row per key
