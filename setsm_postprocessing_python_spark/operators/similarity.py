@@ -76,25 +76,43 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 def with_lsh_buckets(df: DataFrame, dim: int, n_tables: int = 8,
                      planes_per_table: int = 4, vec_col: str = "embedding",
-                     seed: int = 42) -> DataFrame:
+                     seed: int = 42, probe_bits: int = 0,
+                     out: str = "buckets") -> DataFrame:
     """Standard multi-table random-hyperplane LSH: n_tables independent
-    signatures of planes_per_table sign bits each. Adds `buckets`:
-    array of (table << 32 | signature) keys. One batched numpy matmul per
-    Arrow batch computes all tables at once."""
+    signatures of planes_per_table sign bits each. Adds `out`: array of
+    (table << 32 | signature) keys. One batched numpy matmul per Arrow
+    batch computes all tables at once.
+
+    probe_bits > 0 enables MULTIPROBE on this side: besides the home
+    bucket, emit the probe_bits nearest perturbed buckets per table — the
+    perturbations flip the sign bits with the SMALLEST projection margin
+    (the classic multi-probe LSH heuristic), which buys recall without
+    more tables. Probe the query side only; the index side stays at one
+    bucket per table so state does not grow."""
     planes = _hyperplanes(dim, n_tables * planes_per_table, seed)
     from pyspark.sql.types import ArrayType
 
     @F.pandas_udf(ArrayType(LongType()))
     def buckets_of(v: pd.Series) -> pd.Series:
         mat = np.stack(v.to_numpy())                       # (batch, dim)
-        signs = (mat.astype(np.float64) @ planes) > 0      # (batch, T*P)
-        signs = signs.reshape(len(mat), n_tables, planes_per_table)
+        proj = mat.astype(np.float64) @ planes             # (batch, T*P)
+        signs = (proj > 0).reshape(len(mat), n_tables, planes_per_table)
         weights = (1 << np.arange(planes_per_table)).astype(np.int64)
         sig = signs @ weights                              # (batch, T)
-        keys = (np.arange(n_tables, dtype=np.int64) << 32) | sig
+        tbl = np.arange(n_tables, dtype=np.int64) << 32
+        keys = tbl | sig                                   # (batch, T)
+        if probe_bits:
+            margins = np.abs(proj).reshape(len(mat), n_tables,
+                                           planes_per_table)
+            # per (row, table): indices of the probe_bits lowest margins
+            flip = np.argsort(margins, axis=2)[:, :, :probe_bits]
+            probes = [keys]
+            for j in range(probe_bits):
+                probes.append(tbl | (sig ^ (1 << flip[:, :, j])))
+            keys = np.concatenate(probes, axis=1)
         return pd.Series(list(keys))
 
-    return df.withColumn("buckets", buckets_of(F.col(vec_col)))
+    return df.withColumn(out, buckets_of(F.col(vec_col)))
 
 
 def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_lists: int = 8,
@@ -167,7 +185,7 @@ def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_lists: int = 8,
 def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
              planes_per_table: int | None = None, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42,
-             n_hint: int | None = None) -> DataFrame:
+             n_hint: int | None = None, probe_bits: int = 2) -> DataFrame:
     """Approximate top-k: candidates collide in >=1 of n_tables LSH
     tables; exact cosine re-rank within candidates. Collision probability
     for angle theta: 1 - (1 - (1-theta/pi)^P)^T — with T=8, P=4 a
@@ -186,10 +204,16 @@ def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
 
         n = n_hint if n_hint is not None else df.select(id_col).count()
         planes_per_table = max(4, int(math.ceil(math.log2(max(n, 2) / 64.0))))
-    base = with_lsh_buckets(df, dim, n_tables, planes_per_table, vec_col, seed)
+    # query side multiprobes (home + lowest-margin bit flips); index side
+    # keeps one bucket per table — recall rises without growing the index
+    base = with_lsh_buckets(df, dim, n_tables, planes_per_table, vec_col,
+                            seed, probe_bits=min(probe_bits, planes_per_table),
+                            out="probe_buckets")
+    base = with_lsh_buckets(base, dim, n_tables, planes_per_table, vec_col,
+                            seed, out="buckets")
     base = base.persist()
     a = base.select(F.col(id_col).alias("vec_id"),
-                    F.explode("buckets").alias("bkt"))
+                    F.explode("probe_buckets").alias("bkt")).distinct()
     b = base.select(F.col(id_col).alias("nbr_id"),
                     F.explode("buckets").alias("bkt"))
     # dedupe candidates on the id PAIR (cheap fixed-width shuffle), then

@@ -55,3 +55,24 @@ def synthetic_pages(spark: SparkSession, n_rows: int,
               .withColumn("cell_x", F.expr(D.cell_x_expr()))
               .withColumn("cell_y", F.expr(D.cell_y_expr()))
               .withColumn("cell", F.expr(D.cell_id_from_xy())))
+
+
+def clustered_embeddings(spark: SparkSession, n: int = 2000, dim: int = 64,
+                         n_clusters: int = 20, noise: float = 0.15,
+                         seed: int = 123) -> DataFrame:
+    """Deterministic CLUSTERED embedding table (vec_id, embedding) — real
+    embedding spaces are clustered, and ANN recall is only meaningfully
+    measurable on clustered data (on uniform random vectors every bucket
+    boundary cuts true neighbors). Rows = unit centroid + Gaussian noise,
+    L2-normalized; generated driver-side (bounded n for tests/bench) and
+    parallelized."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, n)
+    vecs = cents[assign] + noise * rng.standard_normal((n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
