@@ -90,10 +90,21 @@ def headline_queries():
     from setsm_postprocessing_python_spark.plans import queries_ext as QX
     from setsm_postprocessing_python_spark.plans import queries_ref as QR
 
+    def knn_fine(spark, sf_dir):
+        # bench kNN at the native 0.005-degree grid (the scale-appropriate
+        # resolution; q_knn's coarse 5-degree cells exist for driver-scale
+        # oracle coverage and are inherently quadratic at bench row counts)
+        from setsm_postprocessing_python_spark.operators.knn import (
+            knn_join_blocked)
+        from setsm_postprocessing_python_spark.sources.pages import (
+            geocoded_pages)
+
+        return knn_join_blocked(geocoded_pages(spark, sf_dir), k=3, ring=1)
+
     return {
         "tile_counts": Q.q_tile_counts,     # geocode + tile assign + rollup
         "tile_assign_pip": Q.q_tile_assign, # pandas-UDF PIP path
-        "knn": Q.q_knn,                     # blocked-halo k-ring kNN
+        "knn": knn_fine,                    # blocked-halo k-ring kNN
         "ring_density": Q.q_ring_density,   # two-stage neighborhood agg
         "mask_filter": Q.q_mask_filter,     # flags algebra + group census
         "dedup_exact": Q.q_dedup_exact,     # hash groupBy dedup

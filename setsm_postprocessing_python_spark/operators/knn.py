@@ -52,18 +52,25 @@ def kring_expand(df: DataFrame, ring: int = 1,
 BLOCK_SHIFT = 6  # 64x64-cell join blocks for the halo strategy
 
 
-def knn_join_blocked(df: DataFrame, k: int = 3, ring: int = 1) -> DataFrame:
+def knn_join_blocked(df: DataFrame, k: int = 3, ring: int = 1,
+                     block_shift: int = BLOCK_SHIFT) -> DataFrame:
     """Scale path: identical semantics to knn_join, but the join key is a
     64x64-cell block and only pages within `ring` cells of a block edge are
     duplicated into the adjacent block (halo duplication — the engine
     analogue of the reference's interpolation pad, lib/scenes2strips.py:
-    316-326). Data expansion is ~(1 + 4*ring/64) ≈ 1.06x instead of the
-    naive (2r+1)^2 = 9x k-ring explode; the shuffle moves ~8.5x fewer
-    bytes. Ring membership is re-checked exactly after the block join."""
+    316-326). Data expansion is ~(1 + 4*ring/2^bs) instead of the naive
+    (2r+1)^2 = 9x k-ring explode; the shuffle moves ~8.5x fewer bytes.
+    Ring membership is re-checked exactly after the block join.
+
+    block_shift MUST match the cell resolution: blocks are the join
+    granularity, so 2^block_shift cells per block axis should yield far
+    more blocks than cores (e.g. shift 6 for the 0.005-degree grid, shift
+    0-2 for coarse 5-degree kNN cells — shift 6 on a 72-cell-wide coarse
+    grid would collapse everything into 2 blocks and go quadratic)."""
     sel = df.select(
         "url", "lat", "lon", "cell_x", "cell_y",
-        F.shiftright("cell_x", BLOCK_SHIFT).alias("bx"),
-        F.shiftright("cell_y", BLOCK_SHIFT).alias("by"),
+        F.shiftright("cell_x", block_shift).alias("bx"),
+        F.shiftright("cell_y", block_shift).alias("by"),
     )
     a = sel.select(
         F.col("url").alias("url_a"), F.col("lat").alias("lat_a"),
@@ -73,8 +80,8 @@ def knn_join_blocked(df: DataFrame, k: int = 3, ring: int = 1) -> DataFrame:
     )
     # build side: replicate to the <=4 blocks its ring can reach
     cand_blocks = F.array_distinct(F.array(*[
-        (F.shiftright(F.col("cell_y") + dy, BLOCK_SHIFT) * 2048
-         + F.shiftright(F.col("cell_x") + dx, BLOCK_SHIFT))
+        (F.shiftright(F.col("cell_y") + dy, block_shift) * 2048
+         + F.shiftright(F.col("cell_x") + dx, block_shift))
         for dx in (-ring, ring) for dy in (-ring, ring)
     ] + [(F.col("by") * 2048 + F.col("bx"))]))
     b = sel.select(

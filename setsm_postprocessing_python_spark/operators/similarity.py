@@ -203,7 +203,11 @@ def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
         import math
 
         n = n_hint if n_hint is not None else df.select(id_col).count()
-        planes_per_table = max(4, int(math.ceil(math.log2(max(n, 2) / 64.0))))
+        # multiprobe visits ~(1 + probe_bits) buckets per table, so size
+        # buckets smaller by the same factor — candidate volume stays
+        # ~64*T per query while multiprobe recovers the recall
+        target = 64.0 / (1 + min(probe_bits, 3))
+        planes_per_table = max(4, int(math.ceil(math.log2(max(n, 2) / target))))
     # query side multiprobes (home + lowest-margin bit flips); index side
     # keeps one bucket per table — recall rises without growing the index
     base = with_lsh_buckets(df, dim, n_tables, planes_per_table, vec_col,

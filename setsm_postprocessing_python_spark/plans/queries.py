@@ -75,7 +75,9 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("cell_x", F.expr(D.knn_cell_x_expr()))
           .withColumn("cell_y", F.expr(D.knn_cell_y_expr()))
           .withColumn("cell", F.expr(D.cell_id_from_xy())))
-    return OK.knn_join_blocked(df, k=3, ring=1).select(
+    # block_shift 2 = 4x4 coarse cells/block: the 72x34-cell coarse grid
+    # still yields ~160 blocks (shift 6 would collapse it into 2)
+    return OK.knn_join_blocked(df, k=3, ring=1, block_shift=2).select(
         "url_a", "url_b", F.col("rank").alias("knn_rank"))
 
 

@@ -126,10 +126,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_coreg_similarity.py). Bucket sizing comes from
     the parquet footer row count — no pre-job (at Iceberg scale: snapshot
     summary stats)."""
+    from pathlib import Path
+
     import pyarrow.parquet as pq
 
-    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = Path(f"{sf_dir}/embeddings.parquet")
+    files = [p] if p.is_file() else sorted(p.glob("*.parquet"))
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    emb = spark.read.parquet(str(p))
     return SIM.lsh_topk(emb, dim=64, k=3, n_hint=n)
 
 
