@@ -109,16 +109,45 @@ def q_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cell", F.round("z_resized", 6).alias("z_resized"))
 
 
-def q_ring_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-ring max-min range of the z score (max1d-min1d analogue,
-    lib/filter_scene.py:1354-1356) over coarse blocks."""
-    df = (P.geocoded_pages(spark, sf_dir)
-          .withColumn("z", F.expr(D.z_expr(D.SPARK)))
-          .select(F.expr(D.block_x_expr(D.SPARK)).alias("cell_x"),
-                  F.expr(D.block_y_expr(D.SPARK)).alias("cell_y"), "z")
-          .withColumn("cell", F.expr(D.cell_id_from_xy())))
-    out = MO.ring_range_filter(df, "z", ring=1)
-    return out.select("cell", F.round("vrange", 6).alias("vrange"))
+# composed water-mask thresholds (waterMask.m constants analogue)
+WATER_TH_ENT = 2.0     # entropy_thresh
+WATER_TH_Z = 48.0      # ortho_thresh (radiance proxy = block mean z)
+WATER_TH_DENS = 4      # data_density_thresh (pages per block)
+
+
+def q_water_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED water-mask predicate over coarse blocks — the full
+    waterMask.m composition (lib/filter_scene.py:1349-1390):
+    subtraction image = k-ring max-min range of z (max1d-min1d,
+    :1354-1356), entropy component = k-ring entropy < thresh, radiance
+    component = low block mean z AND low page density, water = data &
+    (entropy_mask | radiance_mask). The reference's isolated-cluster
+    cleanup steps (bwareaopen / clean_mask) are the separately-validated
+    q_bwareaopen / q_fill_holes operators. Output keeps vrange so the
+    range-filter operator stays oracle-covered here."""
+    from ..operators.neighborhood import ring_entropy
+
+    base = (P.geocoded_pages(spark, sf_dir)
+            .withColumn("z", F.expr(D.z_expr(D.SPARK)))
+            .select(F.expr(D.block_x_expr(D.SPARK)).alias("cell_x"),
+                    F.expr(D.block_y_expr(D.SPARK)).alias("cell_y"),
+                    "z", "lang")
+            .withColumn("cell", F.expr(D.cell_id_from_xy())))
+    vrange = MO.ring_range_filter(base, "z", ring=1)
+    ent = ring_entropy(base, "lang", ring=1)
+    per_block = base.groupBy("cell").agg(
+        F.sum("z").alias("sz"), F.count(F.lit(1)).alias("n"))
+    j = per_block.join(vrange, "cell").join(ent, "cell")
+    mask_ent = F.col("ring_entropy") < WATER_TH_ENT
+    mask_rad = ((F.col("sz") / F.col("n") < WATER_TH_Z)
+                & (F.col("n") < WATER_TH_DENS))
+    return j.select(
+        "cell", F.round("vrange", 6).alias("vrange"),
+        F.round("ring_entropy", 6).alias("ring_ent"),
+        F.col("n").alias("n_pages"),
+        mask_ent.alias("is_water_entropy"),
+        mask_rad.alias("is_water_radiance"),
+        (mask_ent | mask_rad).alias("is_water"))
 
 
 # ---------------------------------------------------------------------------
@@ -449,18 +478,48 @@ ORACLES: dict[str, str] = {
         extra_ctes=f"zb AS (SELECT (cell_x >> 12) AS bx, (cell_y >> 12) AS by, "
         f"{D.z_expr(_DD)} AS z FROM cells), "
         "p AS (SELECT bx, by, sum(z) / count(*) AS v FROM zb GROUP BY 1, 2)"),
-    "q_ring_range": _with_cells(
-        """SELECT r.cell, round(r.vrange, 6) AS vrange FROM (
-             SELECT (p.by + o.dy) * 131072 + (p.bx + o.dx) AS cell,
-                    max(p.vmax) - min(p.vmin) AS vrange
-             FROM (SELECT (cell_x >> 12) AS bx, (cell_y >> 12) AS by,
-                          max(z) AS vmax, min(z) AS vmin
-                   FROM zc GROUP BY 1, 2) p
-             CROSS JOIN offs o GROUP BY 1
-           ) r JOIN (SELECT DISTINCT (cell_y >> 12) * 131072 + (cell_x >> 12)
-                     AS cell FROM cells) occ ON r.cell = occ.cell""",
+    "q_water_compose": _with_cells(
+        f"""SELECT b.cell, round(r.vrange, 6) AS vrange,
+                   round(e.ent, 6) AS ring_ent, b.n AS n_pages,
+                   (e.ent < {WATER_TH_ENT}) AS is_water_entropy,
+                   ((b.s / b.n < {WATER_TH_Z}) AND (b.n < {WATER_TH_DENS}))
+                     AS is_water_radiance,
+                   ((e.ent < {WATER_TH_ENT}) OR
+                    ((b.s / b.n < {WATER_TH_Z}) AND (b.n < {WATER_TH_DENS})))
+                     AS is_water
+            FROM pb b
+            JOIN (
+              SELECT rr.cell, rr.vrange FROM (
+                SELECT (p.by + o.dy) * 131072 + (p.bx + o.dx) AS cell,
+                       max(p.vmax) - min(p.vmin) AS vrange
+                FROM (SELECT bx, by, max(z) AS vmax, min(z) AS vmin
+                      FROM zb GROUP BY 1, 2) p
+                CROSS JOIN offs o GROUP BY 1
+              ) rr JOIN (SELECT DISTINCT by * 131072 + bx AS cell FROM zb) oc
+                ON rr.cell = oc.cell
+            ) r ON b.cell = r.cell
+            JOIN (
+              SELECT t.target_cell AS cell,
+                     log2(CAST(t.N AS DOUBLE)) - t.nlogn / t.N AS ent
+              FROM (
+                SELECT target_cell, sum(n) AS N,
+                       sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))
+                         AS nlogn
+                FROM (
+                  SELECT (p.by + o.dy) * 131072 + (p.bx + o.dx)
+                           AS target_cell, p.lang, sum(p.n) AS n
+                  FROM (SELECT bx, by, lang, count(*) AS n
+                        FROM zb GROUP BY 1, 2, 3) p
+                  CROSS JOIN offs o GROUP BY 1, 2
+                ) GROUP BY target_cell
+              ) t JOIN (SELECT DISTINCT by * 131072 + bx AS cell FROM zb) oc2
+                ON t.target_cell = oc2.cell
+            ) e ON b.cell = e.cell""",
         extra_ctes=D.ring_offsets_values(1)
-        + f", zc AS (SELECT *, {D.z_expr(_DD)} AS z FROM cells)"),
+        + f", zb AS (SELECT (cell_x >> 12) AS bx, (cell_y >> 12) AS by, "
+          f"{D.z_expr(_DD)} AS z, lang FROM cells)"
+        + ", pb AS (SELECT by * 131072 + bx AS cell, sum(z) AS s, "
+          "CAST(count(*) AS BIGINT) AS n FROM zb GROUP BY 1)"),
     "q_diff_strips": _with_cells(
         """SELECT j.pair, j.block, round(j.szb / j.nb - j.sza / j.na, 6) AS dz,
                   j.na + j.nb AS n_total,
@@ -685,7 +744,7 @@ QUERIES = {
     "q_slope": q_slope,
     "q_fill_holes": q_fill_holes,
     "q_resize_bilinear": q_resize_bilinear,
-    "q_ring_range": q_ring_range,
+    "q_water_compose": q_water_compose,
     "q_diff_strips": q_diff_strips,
     "q_quantize": q_quantize,
     "q_dn2rad": q_dn2rad,
