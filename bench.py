@@ -163,7 +163,9 @@ def _record_history(result: dict) -> None:
             r = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if r.get("bench_rev") == result.get("bench_rev"):
+        if (r.get("bench_rev") == result.get("bench_rev")
+                and r.get("sf") == result.get("sf")
+                and r.get("parallelism") == result.get("parallelism")):
             runs.append(r)
     names = sorted({n for r in runs for n in r.get("queries", {})})
     md = ["# Per-query bench history (same workload rev: "
