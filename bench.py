@@ -258,24 +258,41 @@ def run_scaling_single(parallelism: int, n_rows: int) -> dict:
             "parallelism": parallelism}
 
 
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+
+
 def run_scaling(sf_dir: str) -> None:
-    """local[N] vs local[4N] in fresh JVMs; writes BENCH/BASELINE.md."""
-    results = {}
-    for par in (SCALE_N, SCALE_4N):
+    """local[N] vs local[4N] in fresh JVMs; writes BENCH/BASELINE.md.
+
+    The sandbox hypervisor shows transient multi-minute contention windows
+    (identical-code stages measured up to 13x slower between adjacent
+    runs). Each parallelism level therefore runs SCALE_REPS fresh-JVM reps
+    in ALTERNATING order (N, 4N, N, 4N, ...) and the per-level minimum is
+    the capacity measurement — a contention window that poisons one rep of
+    one level cannot poison both reps of both levels."""
+    results: dict[int, dict] = {}
+    order = [SCALE_N, SCALE_4N] * SCALE_REPS
+    for par in order:
         out = subprocess.run(
             [sys.executable, __file__, "--scale-single", str(par)],
             capture_output=True, text=True, timeout=3600,
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[par] = json.loads(line)
+        r = json.loads(line)
+        if par not in results or r["value"] < results[par]["value"]:
+            results[par] = r
     t_n, t_4n = results[SCALE_N]["value"], results[SCALE_4N]["value"]
     eff = (t_n / t_4n) / 4.0
     md = ["# BENCH — measured baseline (sandbox)", "",
           f"Input: {results[SCALE_4N]['pages']} deterministic synthetic pages"
           " (sources/datagen.py, seed 42), same input, identical partitioning"
           f" (ip={SCALE_INPUT_PARTS}, sp={SCALE_SHUFFLE_PARTS}) at both",
-          "parallelism levels (fresh JVM each); per-stage time = min of 3 reps.",
+          "parallelism levels (fresh JVM each); per-stage time = min of 3 reps",
+          f"within a run; per-level total = min over {SCALE_REPS} alternating",
+          "fresh-JVM runs (the sandbox hypervisor has transient multi-minute",
+          "contention windows — alternation keeps one window from poisoning",
+          "one level of the A/B; see git history for raw outlier runs).",
           "", "N vs 4N proxy per BASELINE.md §2: this VM advertises 32 vCPUs",
           "but measured pure-CPU throughput (multiprocessing burn test) is",
           "linear only to ~16 workers (8 procs -> 7.7 u/s, 16 -> 13.6,",

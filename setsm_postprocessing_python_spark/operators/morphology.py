@@ -66,14 +66,16 @@ def ring_range_filter(df: DataFrame, value: str, ring: int = 1) -> DataFrame:
     maximum_filter1d - minimum_filter1d analogue, 2-D form)."""
     per_cell = df.groupBy("cell", "cell_x", "cell_y").agg(
         F.max(value).alias("vmax"), F.min(value).alias("vmin"))
-    arr = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+    arr = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                             F.lit(dx == 0 and dy == 0).alias("s"))
                     for dx, dy in ring_offsets(ring)])
     scattered = (per_cell.withColumn("_o", F.explode(arr))
                  .select(((F.col("cell_y") + F.col("_o.dy")) * D.LON_CELL_STRIDE
                           + (F.col("cell_x") + F.col("_o.dx"))).alias("target_cell"),
-                         "vmax", "vmin"))
+                         "vmax", "vmin", F.col("_o.s").alias("_self")))
+    # occupied flag rides the scatter shuffle — no join back to occupied
     rng = scattered.groupBy("target_cell").agg(
-        (F.max("vmax") - F.min("vmin")).alias("vrange"))
-    occ = per_cell.select(F.col("cell").alias("target_cell"))
-    return (rng.join(occ, "target_cell")
+        (F.max("vmax") - F.min("vmin")).alias("vrange"),
+        F.max("_self").alias("_occ"))
+    return (rng.where("_occ")
             .select(F.col("target_cell").alias("cell"), "vrange"))

@@ -26,9 +26,16 @@ from .knn import ring_offsets
 
 def _scatter_to_ring(cell_stats: DataFrame, ring: int) -> DataFrame:
     """Explode per-cell partial rows to every cell in their k-ring (the
-    transpose of 'gather from neighbors' — same result, join-free)."""
+    transpose of 'gather from neighbors' — same result, join-free).
+
+    Adds `_self` = true on the (0,0) offset row: downstream aggregates
+    keep max(_self) and filter on it instead of joining back to the
+    occupied-cell set — the occupied check rides the SAME shuffle as the
+    aggregation, deleting a whole |cells|-row join per kernel (measured on
+    the 4M-row scaling stage: ring_density 9.1s -> see BENCH/BASELINE.md)."""
     offsets = F.array(*[
-        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(dx == 0 and dy == 0).alias("s"))
         for dx, dy in ring_offsets(ring)
     ])
     return (
@@ -38,6 +45,7 @@ def _scatter_to_ring(cell_stats: DataFrame, ring: int) -> DataFrame:
             (F.col("cell_y") + F.col("_o.dy")) * F.lit(D.LON_CELL_STRIDE)
             + (F.col("cell_x") + F.col("_o.dx")),
         )
+        .withColumn("_self", F.col("_o.s"))
         .drop("_o")
     )
 
@@ -60,10 +68,10 @@ def ring_density(df: DataFrame, ring: int = 1,
     per_cell = df.groupBy("cell", "cell_x", "cell_y").agg(
         F.count(F.lit(1)).alias("n"))
     scattered = _scatter_to_ring(per_cell, ring)
-    dens = scattered.groupBy("target_cell").agg(F.sum("n").alias("n_in_ring"))
+    dens = scattered.groupBy("target_cell").agg(
+        F.sum("n").alias("n_in_ring"), F.max("_self").alias("_occ"))
     if occupied_only:
-        occ = per_cell.select(F.col("cell").alias("target_cell"))
-        dens = dens.join(occ, "target_cell", "inner")
+        dens = dens.where("_occ")
     return dens.select(F.col("target_cell").alias("cell"), "n_in_ring")
 
 
@@ -75,21 +83,24 @@ def ring_density_separable(df: DataFrame, ring: int = 1,
     per_cell = df.groupBy("cell", "cell_x", "cell_y").agg(
         F.count(F.lit(1)).alias("n"))
     dxs = F.array(*[F.lit(d) for d in range(-ring, ring + 1)])
+    # occupied flag rides both passes: target occupied iff some source cell
+    # contributed at dx=0 in the row pass AND that row lands at dy=0
     row_pass = (per_cell
                 .withColumn("_dx", F.explode(dxs))
                 .groupBy((F.col("cell_x") + F.col("_dx")).alias("cell_x"),
                          F.col("cell_y"))
-                .agg(F.sum("n").alias("n")))
+                .agg(F.sum("n").alias("n"),
+                     F.max(F.col("_dx") == 0).alias("_s")))
     col_pass = (row_pass
                 .withColumn("_dy", F.explode(dxs))
                 .groupBy("cell_x", (F.col("cell_y") + F.col("_dy")).alias("cell_y"))
-                .agg(F.sum("n").alias("n_in_ring")))
+                .agg(F.sum("n").alias("n_in_ring"),
+                     F.max(F.col("_s") & (F.col("_dy") == 0)).alias("_occ")))
     dens = col_pass.withColumn(
         "target_cell",
         F.col("cell_y") * F.lit(D.LON_CELL_STRIDE) + F.col("cell_x"))
     if occupied_only:
-        occ = per_cell.select(F.col("cell").alias("target_cell"))
-        dens = dens.join(occ, "target_cell", "inner")
+        dens = dens.where("_occ")
     return dens.select(F.col("target_cell").alias("cell"), "n_in_ring")
 
 
@@ -106,9 +117,9 @@ def ring_stat(df: DataFrame, value: str, ring: int = 1) -> DataFrame:
     )
     scattered = _scatter_to_ring(per_cell, ring)
     out = scattered.groupBy("target_cell").agg(
-        F.sum("s").alias("s"), F.sum("ss").alias("ss"), F.sum("n").alias("n"))
-    occ = per_cell.select(F.col("cell").alias("target_cell"))
-    out = out.join(occ, "target_cell", "inner")
+        F.sum("s").alias("s"), F.sum("ss").alias("ss"), F.sum("n").alias("n"),
+        F.max("_self").alias("_occ"))
+    out = out.where("_occ")
     mean = F.col("s") / F.col("n")
     var = F.greatest(F.col("ss") / F.col("n") - mean * mean, F.lit(0.0))
     return out.select(
@@ -135,19 +146,27 @@ def weighted_kernel_agg(df: DataFrame, value: str,
         F.count(value).alias("n"))
     offs = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
-                 F.lit(w).alias("w"))
+                 F.lit(w).alias("w"),
+                 F.lit(dx == 0 and dy == 0).alias("sf"))
         for (dx, dy), w in sorted(kernel.items())
     ])
     scattered = (per_cell.withColumn("_o", F.explode(offs))
                  .select(((F.col("cell_y") + F.col("_o.dy")) * D.LON_CELL_STRIDE
                           + (F.col("cell_x") + F.col("_o.dx"))).alias("target_cell"),
                          (F.col("_o.w") * F.col("s")).alias("ws"),
-                         (F.col("_o.w") * F.col("n")).alias("wn")))
+                         (F.col("_o.w") * F.col("n")).alias("wn"),
+                         F.col("_o.sf").alias("_self")))
     out = scattered.groupBy("target_cell").agg(
-        F.sum("ws").alias("conv_sum"), F.sum("wn").alias("conv_wsum"))
-    occ = per_cell.select(F.col("cell").alias("target_cell"))
-    return (out.join(occ, "target_cell")
-            .select(F.col("target_cell").alias("cell"), "conv_sum", "conv_wsum"))
+        F.sum("ws").alias("conv_sum"), F.sum("wn").alias("conv_wsum"),
+        F.max("_self").alias("_occ"))
+    if (0, 0) in kernel:
+        # the occupied flag rode the scatter — no join back needed
+        out = out.where("_occ")
+    else:
+        occ = per_cell.select(F.col("cell").alias("target_cell"))
+        out = out.join(occ, "target_cell")
+    return out.select(F.col("target_cell").alias("cell"),
+                      "conv_sum", "conv_wsum")
 
 
 def interp_shifted(df: DataFrame, value: str, dx_cells: float,
@@ -280,14 +299,15 @@ def ring_entropy(df: DataFrame, category: str = "lang", ring: int = 1) -> DataFr
         F.count(F.lit(1)).alias("n"))
     scattered = _scatter_to_ring(per_cell_cat, ring)
     ring_cat = scattered.groupBy("target_cell", category).agg(
-        F.sum("n").alias("n"))
-    # entropy = log2(N) - sum(n*log2(n))/N  (exact-integer form)
+        F.sum("n").alias("n"), F.max("_self").alias("_s"))
+    # entropy = log2(N) - sum(n*log2(n))/N  (exact-integer form); the
+    # occupied flag rides both aggregation levels — no join back
     ent = ring_cat.groupBy("target_cell").agg(
         F.sum("n").alias("N"),
         F.sum(F.col("n").cast("double") * F.log2(F.col("n").cast("double"))).alias("nlogn"),
+        F.max("_s").alias("_occ"),
     )
-    occ = df.select(F.col("cell").alias("target_cell")).distinct()
-    ent = ent.join(occ, "target_cell", "inner")
+    ent = ent.where("_occ")
     return ent.select(
         F.col("target_cell").alias("cell"),
         (F.log2(F.col("N").cast("double")) - F.col("nlogn") / F.col("N")).alias("ring_entropy"),

@@ -50,6 +50,27 @@ def test_dn2rad_broadcasts_dim(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_ring_density_is_join_free(spark):
+    """The occupied-cell check must ride the scatter shuffle (self-marker
+    max), NOT a join back to the cell set — at 100 TB that join is a whole
+    extra |cells|-row shuffle per kernel application."""
+    from setsm_postprocessing_python_spark.operators.neighborhood import (
+        ring_density)
+    from setsm_postprocessing_python_spark.sources.pages import geocoded_pages
+
+    plan = _plan(spark, ring_density(geocoded_pages(spark, SF), ring=1))
+    assert "Join" not in plan
+
+
+def test_slope_partial_aggregation(spark):
+    """central_gradient: one scatter + conditional-agg gather; the partial
+    HashAggregate must precede the Exchange (map-side combine)."""
+    from setsm_postprocessing_python_spark.plans.queries_ref import q_slope
+
+    plan = _plan(spark, q_slope(spark, SF))
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
 def test_layout_scan_pushes_cell_range(spark, tmp_path):
     """Cell-range predicates must reach the parquet scan as PushedFilters."""
     from setsm_postprocessing_python_spark.sources.layout import (
