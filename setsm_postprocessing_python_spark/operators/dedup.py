@@ -114,30 +114,49 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     formulation exploded every shingle x 16 (96M shuffle rows at 200k
     docs); this one shuffles the map-side-combined partials only (one row
     per doc per partition) and measured 2.3x faster end-to-end on the
-    amplified bench (70.4s -> 30.7s; the remainder is the band join). The (id, hash_idx, minhash) long form is recovered
-    with a posexplode of the 16-element result row (one row per doc)."""
-    sh = exploded_shingles(df, id_col).withColumn(
-        "h", F.expr(D.hex8_i64("shingle", 1, D.SPARK)))
-    # a*h stays under 2^63: a < 2^31-1, h < 2^32 (guarded by ANSI mode)
-    mins = sh.groupBy(id_col).agg(*[
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"m{i}")
-        for i, (a, b) in enumerate(MINHASH_PARAMS)])
+    amplified bench (70.4s -> 30.7s). The (id, hash_idx, minhash) long
+    form is recovered with a posexplode of the 16-element result row (one
+    row per doc). a*h stays under 2^63: a < 2^31-1, h < 2^32 (guarded by
+    ANSI mode)."""
+    mins = _minhash_wide(df, id_col)
     arr = F.array(*[F.col(f"m{i}") for i in range(N_HASHES)])
     return mins.select(
         id_col, F.posexplode(arr).alias("hash_idx", "minhash"))
 
 
+def _minhash_wide(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, m0..m15): one row per doc, all permutation minima as columns."""
+    sh = exploded_shingles(df, id_col).withColumn(
+        "h", F.expr(D.hex8_i64("shingle", 1, D.SPARK)))
+    return sh.groupBy(id_col).agg(*[
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)])
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """LSH banding: docs sharing at least one full band of minhashes.
     Band signature = concat of the band's minhashes; candidates = equi-join
-    on (band, signature). Output (id_a < id_b, n_shared_bands)."""
-    sig = minhash_signatures(df, id_col)
-    sig = sig.withColumn("band", (F.col("hash_idx") / ROWS_PER_BAND).cast("int"))
-    bands = (sig.groupBy(id_col, "band")
-             .agg(F.array_sort(F.collect_list(
-                 F.concat_ws(":", F.col("hash_idx"), F.col("minhash")))).alias("sig_arr"))
-             .withColumn("band_sig", F.concat_ws(",", "sig_arr"))
-             .drop("sig_arr"))
+    on (band, signature). Output (id_a < id_b, n_shared_bands).
+
+    Band signatures are assembled DIRECTLY from the wide per-doc minhash
+    row — no long-form shuffle, no collect_list aggregation; the only
+    shuffles left are the shingle distinct, the per-doc min-agg, and the
+    band equi-join. The signature string is byte-identical to the
+    oracle's array_sort(collect_list('idx:min')) form: element order
+    within a band is the LEXICOGRAPHIC order of the 'idx:' prefixes,
+    which is a compile-time constant per band."""
+    mins = _minhash_wide(df, id_col)
+    band_structs = []
+    for band in range(N_BANDS):
+        idxs = sorted(range(band * ROWS_PER_BAND, (band + 1) * ROWS_PER_BAND),
+                      key=str)  # lexicographic 'idx:...' order
+        sig = F.concat_ws(",", *[
+            F.concat_ws(":", F.lit(str(i)), F.col(f"m{i}")) for i in idxs])
+        band_structs.append(F.struct(F.lit(band).alias("band"),
+                                     sig.alias("band_sig")))
+    bands = (mins.select(id_col, F.explode(F.array(*band_structs)).alias("b"))
+             .select(id_col, F.col("b.band").alias("band"),
+                     F.col("b.band_sig").alias("band_sig")))
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (a.join(b, ["band", "band_sig"]).where(F.col("id_a") < F.col("id_b"))
