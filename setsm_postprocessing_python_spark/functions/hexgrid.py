@@ -22,16 +22,10 @@ AXIAL_OFFSET = 1 << 20  # shift axial coords non-negative for packing
 AXIAL_STRIDE = 1 << 21
 
 
-def latlon_to_axial(lat: np.ndarray, lon: np.ndarray,
-                    size: float = HEX_SIZE_DEG):
-    """Pointy-top axial coordinates with cube rounding (standard public
-    hex-grid math)."""
-    x = np.asarray(lon, dtype=np.float64)
-    y = np.asarray(lat, dtype=np.float64)
-    q = (np.sqrt(3.0) / 3.0 * x - y / 3.0) / size
-    r = (2.0 / 3.0 * y) / size
-    # cube rounding
-    cx, cz = q, r
+def _cube_round(q: np.ndarray, r: np.ndarray):
+    """Round fractional axial coords to the nearest hex (cube rounding,
+    standard public hex-grid math)."""
+    cx, cz = np.asarray(q, dtype=np.float64), np.asarray(r, dtype=np.float64)
     cy = -cx - cz
     rx, ry, rz = np.round(cx), np.round(cy), np.round(cz)
     dx, dy, dz = np.abs(rx - cx), np.abs(ry - cy), np.abs(rz - cz)
@@ -40,6 +34,16 @@ def latlon_to_axial(lat: np.ndarray, lon: np.ndarray,
     rx = np.where(fix_x, -ry - rz, rx)
     rz = np.where(fix_z, -rx - ry, rz)
     return rx.astype(np.int64), rz.astype(np.int64)
+
+
+def latlon_to_axial(lat: np.ndarray, lon: np.ndarray,
+                    size: float = HEX_SIZE_DEG):
+    """Pointy-top axial coordinates with cube rounding."""
+    x = np.asarray(lon, dtype=np.float64)
+    y = np.asarray(lat, dtype=np.float64)
+    q = (np.sqrt(3.0) / 3.0 * x - y / 3.0) / size
+    r = (2.0 / 3.0 * y) / size
+    return _cube_round(q, r)
 
 
 def pack_axial(q: np.ndarray, r: np.ndarray) -> np.ndarray:
@@ -82,6 +86,31 @@ def hex_parent(cell: np.ndarray, factor: int = 3) -> np.ndarray:
     factor^2 coarsening — the browse-pyramid analogue)."""
     lat, lon = hex_center(cell)
     return hex_cell(lat, lon, HEX_SIZE_DEG * factor)
+
+
+def hex_parent_a7(cell: np.ndarray) -> np.ndarray:
+    """TRUE aperture-7 hierarchical parent (H3's aperture, on the planar
+    axial lattice): coarse centers form the index-7 sublattice spanned by
+    (2,1) and (-1,3) in axial coords (det = 7 — the Gosper / generalized-
+    balanced-ternary hierarchy, standard public hex math). Child (q,r)
+    maps to fractional coarse coords ((3q+r)/7, (2r-q)/7), cube-rounded to
+    the nearest coarse cell — every fine cell gets exactly one parent, a
+    parent owns ~7 fine cells (exactly its center child plus a rounded
+    Gosper-island neighborhood). Successive applications give the res-k
+    pyramid. Returned in the same packed axial id space (coarse lattice
+    coords)."""
+    q, r = unpack_axial(cell)
+    qp = (3.0 * q + r) / 7.0
+    rp = (2.0 * r - q) / 7.0
+    cq, cr = _cube_round(qp, rp)
+    return pack_axial(cq, cr)
+
+
+def hex_children_center_a7(parent: np.ndarray):
+    """Axial coords of the CENTER child of an aperture-7 parent (the
+    sublattice embedding: fine (q,r) = Q*(2,1) + R*(-1,3))."""
+    Q, R = unpack_axial(parent)
+    return pack_axial(2 * Q - R, Q + 3 * R)
 
 
 def with_hex_cell(df: DataFrame, size: float = HEX_SIZE_DEG,

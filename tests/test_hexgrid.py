@@ -88,3 +88,39 @@ def test_hex_knn_against_bruteforce(spark):
     # the synthetic sf0.001 layout may have no ultra-close pairs; the
     # structural checks above still hold, but record coverage
     assert checked >= 0
+
+
+def test_aperture7_hierarchy():
+    """Aperture-7 parent invariants: the center child round-trips to its
+    parent; every fine cell has exactly one parent; interior parents own
+    ~7 fine cells on average; axial adjacency coarsens to <=1 coarse step."""
+    import numpy as np
+
+    from setsm_postprocessing_python_spark.functions.hexgrid import (
+        hex_children_center_a7,
+        hex_parent_a7,
+        pack_axial,
+        unpack_axial,
+    )
+
+    # center-child roundtrip over a lattice patch of parents
+    Q, R = np.meshgrid(np.arange(-20, 21), np.arange(-20, 21))
+    parents = pack_axial(Q.ravel(), R.ravel())
+    assert (hex_parent_a7(hex_children_center_a7(parents)) == parents).all()
+
+    # partition: a block of fine cells maps to parents with mean size ~7
+    q, r = np.meshgrid(np.arange(-70, 71), np.arange(-70, 71))
+    fine = pack_axial(q.ravel(), r.ravel())
+    par = hex_parent_a7(fine)
+    pq, pr = unpack_axial(par)
+    import collections
+    counts = collections.Counter(par.tolist())
+    by_id = dict(zip(par.tolist(), zip(pq.tolist(), pr.tolist())))
+    interior = [c for p, c in counts.items()
+                if abs(by_id[p][0]) < 15 and abs(by_id[p][1]) < 15]
+    assert abs(sum(interior) / len(interior) - 7.0) < 0.2
+
+    # adjacency coarsens: axial +q neighbors' parents differ by <= 1 step
+    nbrs = pack_axial(q.ravel() + 1, r.ravel())
+    nq, nr = unpack_axial(hex_parent_a7(nbrs))
+    assert int(max(np.abs(pq - nq).max(), np.abs(pr - nr).max())) <= 1
