@@ -45,6 +45,30 @@ def read_pages_layout(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def walk(srcdir: str, mindepth: int = 0, maxdepth: int = 10**9):
+    """Bounded-depth recursive directory walk (reference lib/walk.py:12-42
+    semantics: yield (dirpath, dnames, fnames) only for depths in
+    [mindepth, maxdepth], pruning descent past maxdepth). Used for
+    filesystem-layout discovery where no Iceberg metadata listing exists;
+    with a catalog this is replaced by the snapshot file listing."""
+    import os
+
+    def _walk(d: str, depth: int):
+        try:
+            entries = sorted(os.scandir(d), key=lambda e: e.name)
+        except OSError:
+            return
+        dnames = [e.name for e in entries if e.is_dir(follow_symlinks=False)]
+        fnames = [e.name for e in entries if not e.is_dir(follow_symlinks=False)]
+        if depth >= mindepth:
+            yield d, dnames, fnames
+        if depth < maxdepth:
+            for name in dnames:
+                yield from _walk(os.path.join(d, name), depth + 1)
+
+    yield from _walk(srcdir, 0)
+
+
 def cell_range_scan(spark: SparkSession, path: str,
                     cell_lo: int, cell_hi: int) -> DataFrame:
     """Cell-range query against the layout. The BETWEEN predicate is pushed

@@ -48,3 +48,27 @@ def test_range_scan_correct(spark, layout_dir):
     got = cell_range_scan(spark, layout_dir, lo, hi).count()
     want = len([c for c in cells if lo <= c <= hi])
     assert got == want
+
+
+def test_walk_depth_bounds(spark, layout_dir, tmp_path):
+    """walk(mindepth, maxdepth) mirrors the reference's bounded scandir
+    (lib/walk.py:12-42): only depths within the band are yielded, descent
+    stops at maxdepth, and the bucket-partitioned layout is discoverable."""
+    import os
+
+    from setsm_postprocessing_python_spark.sources.layout import walk
+
+    root = str(tmp_path / "tree")
+    for sub in ("a/b/c", "a/b2", "d"):
+        os.makedirs(f"{root}/{sub}")
+    open(f"{root}/a/f0", "w").close()
+    open(f"{root}/a/b/f1", "w").close()
+
+    depths = {os.path.relpath(p, root): (d, f) for p, d, f in walk(root, 1, 2)}
+    assert set(depths) == {"a", "d", "a/b", "a/b2"}  # depth 0 and 3 excluded
+    assert depths["a"][1] == ["f0"]
+    assert all(os.path.relpath(p, root) != "a/b/c" for p, _, _ in walk(root, 0, 1))
+
+    # discovers the url_bucket=* partition dirs of the scale layout
+    buckets = [d for _, ds, _ in walk(layout_dir, 0, 0) for d in ds]
+    assert any(b.startswith("url_bucket=") for b in buckets)
