@@ -85,6 +85,43 @@ def quality_exprs(dialect: str, text: str = "text", n_chars: str = "n_chars") ->
     }
 
 
+def gopher_exprs(dialect: str, text: str = "text",
+                 n_chars: str = "n_chars") -> dict[str, str]:
+    """Gopher-rules-style document filters (public heuristics family:
+    word-count band, mean-word-length band, symbol-ratio cap), exact
+    integer arithmetic for cross-engine parity. Columns:
+    mean_tok_len_x100, n_symbols, gopher_ok."""
+    toks = D.tokens_expr(dialect, text)
+    nt = D.n_tokens_expr(dialect, text)
+    if dialect == D.SPARK:
+        sumlen = (f"aggregate(transform({toks}, t -> length(t)), 0, "
+                  f"(a, x) -> a + x)")
+    else:
+        sumlen = f"list_sum(list_transform({toks}, t -> length(t)))"
+    mean_len = f"cast(floor({sumlen} * 100 / {nt}) as bigint)"
+    if dialect == D.SPARK:
+        syms = f"length(regexp_replace({text}, '[a-z0-9 ]', ''))"
+    else:
+        # DuckDB regexp_replace is first-match-only without the 'g' flag
+        syms = f"length(regexp_replace({text}, '[a-z0-9 ]', '', 'g'))"
+    ok = (f"({nt} >= 5 AND {nt} <= 100000"
+          f" AND {mean_len} >= 300 AND {mean_len} < 450"
+          f" AND {syms} * 10 <= {n_chars})")
+    return {
+        "mean_tok_len_x100": mean_len,
+        "n_symbols": f"cast({syms} as bigint)",
+        "gopher_ok": ok,
+    }
+
+
+def with_gopher(df: DataFrame, text: str = "text",
+                n_chars: str = "n_chars") -> DataFrame:
+    out = df
+    for name, expr in gopher_exprs(D.SPARK, text, n_chars).items():
+        out = out.withColumn(name, F.expr(expr))
+    return out
+
+
 def langid_expr(dialect: str, text: str = "text") -> str:
     """Predicted language = argmax of stopword-profile hits, ties broken
     by LANG_ORDER. Rendered as a deterministic CASE chain (strictly-greater

@@ -115,8 +115,8 @@ def with_lsh_buckets(df: DataFrame, dim: int, n_tables: int = 8,
     return df.withColumn(out, buckets_of(F.col(vec_col)))
 
 
-def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_lists: int = 8,
-             n_probe: int = 3, id_col: str = "vec_id",
+def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_lists: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42) -> DataFrame:
     """IVF-style ANN: a k-means coarse quantizer (trained driver-side on a
     bounded sample with Lloyd iterations — the sample and the centroids

@@ -34,13 +34,16 @@ def _with_cells(body: str, extra_ctes: str = "") -> str:
 # ---------------------------------------------------------------------------
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish runs) and quality scoring
-    (length/diversity/stopword bands) in one oracle-checked output — both
-    operator families are pure JVM expressions over the same scan."""
-    df = T.with_quality(T.with_token_stats(P.pages(spark, sf_dir)))
+    """Token counting (whitespace + BPE-ish runs), quality scoring
+    (length/diversity/stopword bands) and Gopher-style document filters
+    (word-count band, mean-word-length band, symbol-ratio cap) in one
+    oracle-checked output — all pure JVM expressions over the same scan."""
+    df = T.with_gopher(T.with_quality(T.with_token_stats(
+        P.pages(spark, sf_dir))))
     return df.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                      "n_tokens", "n_unique", "n_bpe", "ttr_x1000",
-                     "len_score", "div_score", "sw_score", "quality")
+                     "len_score", "div_score", "sw_score", "quality",
+                     "mean_tok_len_x100", "n_symbols", "gopher_ok")
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,6 +300,8 @@ ORACLES: dict[str, str] = {
         + ", ".join(f"{e} AS {n}" for n, e in T.token_stats_exprs(_DD).items())
         + ", "
         + ", ".join(f"{e} AS {n}" for n, e in T.quality_exprs(_DD).items())
+        + ", "
+        + ", ".join(f"{e} AS {n}" for n, e in T.gopher_exprs(_DD).items())
         + " FROM cells"),
     "q_langid": _with_cells(
         f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
