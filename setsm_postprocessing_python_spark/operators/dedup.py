@@ -125,9 +125,16 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def _minhash_wide(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, m0..m15): one row per doc, all permutation minima as columns."""
-    sh = exploded_shingles(df, id_col).withColumn(
-        "h", F.expr(D.hex8_i64("shingle", 1, D.SPARK)))
+    """(id, m0..m15): one row per doc, all permutation minima as columns.
+
+    No shingle DISTINCT: min() is duplicate-insensitive, so the multiset
+    of shingles gives the identical signature as the set — skipping the
+    distinct deletes a whole (id, shingle) shuffle (jaccard keeps its
+    distinct because intersection COUNTS are duplicate-sensitive)."""
+    sh = df.select(
+        id_col,
+        F.explode(F.expr(shingles_expr(D.SPARK))).alias("shingle"),
+    ).withColumn("h", F.expr(D.hex8_i64("shingle", 1, D.SPARK)))
     return sh.groupBy(id_col).agg(*[
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS)])
