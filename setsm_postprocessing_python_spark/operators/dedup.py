@@ -82,14 +82,31 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def jaccard_pairs(df: DataFrame, threshold_pct: int = 50,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  max_df: int | None = None) -> DataFrame:
     """Pairs (a < b) with Jaccard(shingles) >= threshold_pct/100.
     jaccard = inter / (na + nb - inter); comparison kept in integer
-    arithmetic (inter * 100 >= thr * union) for exact oracle parity."""
+    arithmetic (inter * 100 >= thr * union) for exact oracle parity.
+
+    max_df: the 100 TB knob — drop shingles that appear in more than
+    max_df documents BEFORE the self-join (stop-shingle filtering).
+    A shingle hitting k docs contributes k^2 join rows; web-scale boiler-
+    plate shingles ('all rights reserved ...') otherwise dominate the
+    shuffle. Sizes (|A|, |B|) are still measured on the UNfiltered shingle
+    sets, so the Jaccard denominator is exact and the result is a strict
+    SUBSET relation: dropped pairs could only have matched via ubiquitous
+    shingles. None = exact all-shingle join (the oracle-checked form)."""
     sh = exploded_shingles(df, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    join_sh = sh
+    if max_df is not None:
+        rare = (sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") <= max_df)
+                .select("shingle"))
+        join_sh = sh.join(rare, "shingle")
+    a = join_sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = join_sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (a.join(b, "shingle").where(F.col("id_a") < F.col("id_b"))
               .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
