@@ -190,6 +190,32 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                      "n_shared_bands"))
 
 
+def near_dup_pipeline(df: DataFrame, id_col: str = "doc_id",
+                      text: str = "text") -> DataFrame:
+    """Production composition: EXACT dedup first, MinHash-LSH on the
+    representatives only. At web scale most duplication is byte-identical
+    (mirrors, boilerplate reposts); collapsing it first removes the
+    quadratic blowup inside LSH buckets (k identical docs share every
+    band -> k^2/2 candidate pairs, all with trivially-known similarity).
+
+    Output: (id_a < id_b, n_shared_bands, n_docs_a, n_docs_b) — candidate
+    pairs between exact-duplicate GROUPS, weighted by group sizes so
+    downstream dedup policies can score by affected document mass."""
+    groups = exact_dedup(df, id_col, text)  # (text_md5, keep_id, n_dups)
+    reps = (df.withColumn("_md5", F.md5(text))
+            .join(groups.select(F.col("text_md5").alias("_md5"),
+                                F.col("keep_id"), F.col("n_dups")),
+                  "_md5")
+            .where(F.col(id_col) == F.col("keep_id"))
+            .drop("_md5", "keep_id"))
+    pairs = lsh_candidate_pairs(reps, id_col)
+    sz_a = reps.select(F.col(id_col).cast("bigint").alias("id_a"),
+                       F.col("n_dups").alias("n_docs_a"))
+    sz_b = reps.select(F.col(id_col).cast("bigint").alias("id_b"),
+                       F.col("n_dups").alias("n_docs_b"))
+    return pairs.join(sz_a, "id_a").join(sz_b, "id_b")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -56,3 +56,22 @@ def test_lsh_catches_identical_docs(spark):
              for r in lsh_candidate_pairs(df).collect()}
     assert (0, 1, 4) in pairs  # identical docs share all 4 bands
     assert not any(p[:2] in {(0, 2), (1, 2)} for p in pairs)
+
+
+def test_near_dup_pipeline_collapses_exact_dups(spark):
+    """Exact-dup pre-collapse: candidate pairs are between duplicate
+    GROUPS (reps = min doc_id), weighted by group sizes; near-identical
+    groups still pair, and no pair links two members of the same group."""
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = ([f"{base} endu"] * 3         # group A: ids 0,1,2 (rep 0)
+            + [f"{base} endv"] * 2       # group B: ids 3,4 (rep 3), J~0.93
+            + ["x y z w k j"])           # group C: id 5, unrelated
+    df = _docs(spark, rows)
+    from setsm_postprocessing_python_spark.operators.dedup import (
+        near_dup_pipeline)
+
+    out = {(r.id_a, r.id_b): (r.n_docs_a, r.n_docs_b, r.n_shared_bands)
+           for r in near_dup_pipeline(df).collect()}
+    assert set(out) == {(0, 3)}          # only the A-B group pair
+    assert out[(0, 3)][0] == 3 and out[(0, 3)][1] == 2
+    assert out[(0, 3)][2] >= 1           # shares at least one band
