@@ -110,23 +110,32 @@ def assign_tiles_pip(df: DataFrame, tiles: list[Tile],
     # A coarse tile (adaptive tree) covers a block of fine grid cells.
     xs = np.unique(xmin)
     ys = np.unique(ymin)
-    grid = np.full((len(xs), len(ys)), "", dtype=object)
+    grid = np.full((len(xs), len(ys)), -1, dtype=np.int32)
     for i in range(len(ids)):
         gx0 = int(np.searchsorted(xs, xmin[i]))
         gx1 = int(np.searchsorted(xs, xmax[i], side="left"))
         gy0 = int(np.searchsorted(ys, ymin[i]))
         gy1 = int(np.searchsorted(ys, ymax[i], side="left"))
-        grid[gx0:max(gx1, gx0 + 1), gy0:max(gy1, gy0 + 1)] = ids[i]
+        grid[gx0:max(gx1, gx0 + 1), gy0:max(gy1, gy0 + 1)] = i
 
-    @F.pandas_udf(StringType())
-    def pip_assign(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
+    from pyspark.sql.types import IntegerType
+
+    # the UDF returns a fixed-width int32 tile INDEX (cheap Arrow traffic,
+    # no per-row Python string building); the string tile_id comes from a
+    # JVM-side literal-array lookup over the broadcast id list
+    @F.pandas_udf(IntegerType())
+    def pip_index(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
         gx = np.searchsorted(xs, lon_s.to_numpy(), side="right") - 1
         gy = np.searchsorted(ys, lat_s.to_numpy(), side="right") - 1
         gx = np.clip(gx, 0, len(xs) - 1)
         gy = np.clip(gy, 0, len(ys) - 1)
-        return pd.Series(grid[gx, gy])
+        return pd.Series(grid[gx, gy], dtype="int32")
 
-    return df.withColumn("tile_id", pip_assign(F.col(lat), F.col(lon)))
+    ids_arr = F.array(*[F.lit(t) for t in ids])
+    idx = pip_index(F.col(lat), F.col(lon))
+    return df.withColumn(
+        "tile_id",
+        F.when(idx >= 0, F.element_at(ids_arr, idx + 1)))
 
 
 def assign_tiles_quadkey(df: DataFrame, depth: int = D.TILE_DEPTH,
