@@ -131,11 +131,24 @@ def assign_tiles_pip(df: DataFrame, tiles: list[Tile],
         gy = np.clip(gy, 0, len(ys) - 1)
         return pd.Series(grid[gx, gy], dtype="int32")
 
-    ids_arr = F.array(*[F.lit(t) for t in ids])
-    idx = pip_index(F.col(lat), F.col(lon))
-    return df.withColumn(
-        "tile_id",
-        F.when(idx >= 0, F.element_at(ids_arr, idx + 1)))
+    if len(ids) <= 1024:
+        # JVM-side literal-array decode of the int index
+        ids_arr = F.array(*[F.lit(t) for t in ids])
+        idx = pip_index(F.col(lat), F.col(lon))
+        return df.withColumn(
+            "tile_id",
+            F.when(idx >= 0, F.element_at(ids_arr, idx + 1)))
+
+    # huge tile tables: a thousands-element literal array bloats codegen;
+    # decode via a broadcast join on the index instead (still no per-row
+    # Python strings through Arrow)
+    spark = df.sparkSession
+    lut = spark.createDataFrame(
+        [(int(i), str(t)) for i, t in enumerate(ids)],
+        "tile_idx int, tile_id string")
+    out = df.withColumn("tile_idx", pip_index(F.col(lat), F.col(lon)))
+    return (out.join(F.broadcast(lut), "tile_idx", "left")
+            .drop("tile_idx"))
 
 
 def assign_tiles_quadkey(df: DataFrame, depth: int = D.TILE_DEPTH,

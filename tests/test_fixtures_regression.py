@@ -138,3 +138,22 @@ def test_hot_cell_skew_salting_equivalence(spark):
     assert plain == salted
     hot_cell_n = max(plain.values())
     assert hot_cell_n >= 9000  # the skew knob really concentrates rows
+
+
+def test_pip_large_tile_table_fallback(spark):
+    """>1024 tiles switches the PIP decode from a literal array to a
+    broadcast index join — must stay identical to the quadkey path."""
+    from setsm_postprocessing_python_spark.operators.tiles import (
+        assign_tiles_pip,
+        assign_tiles_quadkey,
+        fixed_depth_tiles,
+    )
+    from setsm_postprocessing_python_spark.sources.pages import geocoded_pages
+
+    df = geocoded_pages(spark, "/root/testdata/sf0.001")
+    tiles6 = fixed_depth_tiles(6)  # 4096 tiles
+    a = {(r.url, r.tile_id)
+         for r in assign_tiles_pip(df, tiles6).select("url", "tile_id").collect()}
+    b = {(r.url, r.tile_id)
+         for r in assign_tiles_quadkey(df, depth=6).select("url", "tile_id").collect()}
+    assert a == b
