@@ -1,0 +1,87 @@
+"""Independent numpy cross-checks for the round-2 kernels (oracle
+diversity: the DuckDB oracles share the expression formulation; these
+re-derive the semantics from dense numpy arrays)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from setsm_postprocessing_python_spark.sql import dialect as D
+
+W, H = 13, 9
+
+
+def _grid_df(spark, seed=5, fill=0.7):
+    rng = np.random.default_rng(seed)
+    occ = rng.random((H, W)) < fill
+    vals = np.where(occ, rng.uniform(0, 100, (H, W)), np.nan)
+    rows = [(int(y) * D.LON_CELL_STRIDE + int(x), int(x), int(y),
+             float(vals[y, x]))
+            for y in range(H) for x in range(W) if occ[y, x]]
+    df = spark.createDataFrame(
+        rows, "cell long, cell_x long, cell_y long, z double")
+    return df, occ, vals
+
+
+def test_central_gradient_matches_numpy(spark):
+    from setsm_postprocessing_python_spark.operators.neighborhood import (
+        central_gradient)
+
+    df, occ, vals = _grid_df(spark)
+    got = {r.cell: (r.gx, r.gy, r.grade)
+           for r in central_gradient(df, "z").collect()}
+    assert len(got) == int(occ.sum())
+    for y in range(H):
+        for x in range(W):
+            if not occ[y, x]:
+                continue
+            cell = y * D.LON_CELL_STRIDE + x
+            need = [(x - 1, y), (x + 1, y), (x, y - 1), (x, y + 1)]
+            if all(0 <= nx < W and 0 <= ny < H and occ[ny, nx]
+                   for nx, ny in need):
+                gx = (vals[y, x + 1] - vals[y, x - 1]) / 2.0
+                gy = (vals[y + 1, x] - vals[y - 1, x]) / 2.0
+                want = float(np.sqrt(gx * gx + gy * gy))
+                assert got[cell][2] == pytest.approx(want, rel=1e-12)
+            else:
+                assert got[cell][2] is None
+
+
+def test_bilinear_downsample_matches_numpy(spark):
+    from setsm_postprocessing_python_spark.operators.neighborhood import (
+        bilinear_downsample)
+
+    df, occ, vals = _grid_df(spark, seed=9, fill=0.85)
+    got = {r.cell: r.z_resized
+           for r in bilinear_downsample(df, "z", factor=4).collect()}
+    targets = {(x // 4, y // 4) for y in range(H) for x in range(W)
+               if occ[y, x]}
+    assert set(got) == {ty * D.LON_CELL_STRIDE + tx for tx, ty in targets}
+    for tx, ty in targets:
+        taps = [(4 * tx + i, 4 * ty + j) for i in (1, 2) for j in (1, 2)]
+        cell = ty * D.LON_CELL_STRIDE + tx
+        if all(x < W and y < H and occ[y, x] for x, y in taps):
+            want = float(np.mean([vals[y, x] for x, y in taps]))
+            assert got[cell] == pytest.approx(want, rel=1e-12)
+        else:
+            assert got[cell] is None
+
+
+def test_ring_range_matches_numpy(spark):
+    from setsm_postprocessing_python_spark.operators.morphology import (
+        ring_range_filter)
+
+    df, occ, vals = _grid_df(spark, seed=11)
+    got = {r.cell: r.vrange for r in ring_range_filter(df, "z").collect()}
+    for y in range(H):
+        for x in range(W):
+            if not occ[y, x]:
+                continue
+            nbrs = [vals[ny, nx]
+                    for nx in range(x - 1, x + 2)
+                    for ny in range(y - 1, y + 2)
+                    if 0 <= nx < W and 0 <= ny < H and occ[ny, nx]]
+            want = float(max(nbrs) - min(nbrs))
+            assert got[y * D.LON_CELL_STRIDE + x] == pytest.approx(
+                want, rel=1e-12)

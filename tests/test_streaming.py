@@ -84,3 +84,60 @@ def test_foreachbatch_exactly_once_sink(spark, pages_dir, tmp_path):
     final = read_exactly_once_output(spark, out, ["lang"]).collect()
     assert sum(r.n for r in final) == 1000
     assert len(final) == len({r.lang for r in final})  # one row per key
+
+
+def test_watermark_late_data_semantics(spark, tmp_path):
+    """Append-mode windowed agg with a 10-min watermark over 3 sequential
+    micro-batches (maxFilesPerTrigger=1):
+    - batch B's row at t0+35m arrives AFTER its window's data but WITHIN
+      the watermark -> folds into its window,
+    - batch C's row at t0 is older than the watermark -> dropped,
+    so the finalized windows show exactly the on-time + within-watermark
+    counts. This is the late-data contract of SURVEY §2.9."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    t0 = 1704067200  # epoch base
+    mins = 60
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_batch(name, epochs, mtime):
+        tbl = pa.table({
+            "url": [f"u{i}" for i in range(len(epochs))],
+            "warc_ts": pa.array([e * 1_000_000 for e in epochs],
+                                type=pa.timestamp("us", tz="UTC")),
+        })
+        p = src / name
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    now = _time.time()
+    # A: 3 rows in W0=[0,10m), 2 rows in W30=[30m,40m), pusher at 40m
+    write_batch("a.parquet",
+                [t0, t0 + 1, t0 + 2,
+                 t0 + 31 * mins, t0 + 32 * mins,
+                 t0 + 40 * mins], now - 30)
+    # B: late-but-within-watermark row for W30 (35m >= watermark 30m),
+    #    plus a pusher far ahead (2h) that finalizes everything
+    write_batch("b.parquet", [t0 + 35 * mins, t0 + 120 * mins], now - 20)
+    # C: a row at t0, now far older than the watermark (110m) -> dropped
+    write_batch("c.parquet", [t0, t0 + 121 * mins], now - 10)
+
+    static = spark.read.parquet(str(src))
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    agg = (stream.withWatermark("warc_ts", "10 minutes")
+           .groupBy(F.window("warc_ts", "10 minutes").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("w.start").cast("long").alias("ws"), "n"))
+    q = (agg.writeStream.format("memory").queryName("late_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.ws - t0: r.n for r in spark.sql("select * from late_sink").collect()}
+    assert got.get(0) == 3                 # late t0 row in C was DROPPED
+    assert got.get(30 * mins) == 3         # B's 35m row folded in (2 + 1)
