@@ -36,7 +36,10 @@ from .knn import ring_offsets
 
 
 def _neighbor_pairs(cells: DataFrame) -> DataFrame:
-    """(cell, nbr_cell) for occupied 8-neighbors (both directions)."""
+    """(cell, nbr_cell) directed candidate edges to occupied 8-neighbors.
+    The offset set is symmetric, so every undirected adjacency appears
+    once per direction across the exploded output — min-label propagation
+    needs no explicit reverse edges."""
     offsets = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
         for dx, dy in ring_offsets(1) if not (dx == 0 and dy == 0)

@@ -172,8 +172,11 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     mins = _minhash_wide(df, id_col)
     band_structs = []
     for band in range(N_BANDS):
+        # sort by the 'idx:'-prefixed key, exactly what the oracle's
+        # array_sort sees — plain key=str would break when an index is a
+        # string-prefix of another in the same band (e.g. '1' vs '10')
         idxs = sorted(range(band * ROWS_PER_BAND, (band + 1) * ROWS_PER_BAND),
-                      key=str)  # lexicographic 'idx:...' order
+                      key=lambda i: f"{i}:")
         sig = F.concat_ws(",", *[
             F.concat_ws(":", F.lit(str(i)), F.col(f"m{i}")) for i in idxs])
         band_structs.append(F.struct(F.lit(band).alias("band"),

@@ -67,6 +67,11 @@ def knn_join_blocked(df: DataFrame, k: int = 3, ring: int = 1,
     more blocks than cores (e.g. shift 6 for the 0.005-degree grid, shift
     0-2 for coarse 5-degree kNN cells — shift 6 on a 72-cell-wide coarse
     grid would collapse everything into 2 blocks and go quadratic)."""
+    # block-id packing stride: must exceed the max block-x for the chosen
+    # shift, or distinct blocks alias into one join key (correct — the
+    # exact ring re-check saves it — but the equi-join fans out toward
+    # quadratic). Derived from the grid extent instead of a constant.
+    stride = (D.LON_CELL_STRIDE >> block_shift) + 1
     sel = df.select(
         "url", "lat", "lon", "cell_x", "cell_y",
         F.shiftright("cell_x", block_shift).alias("bx"),
@@ -76,14 +81,14 @@ def knn_join_blocked(df: DataFrame, k: int = 3, ring: int = 1,
         F.col("url").alias("url_a"), F.col("lat").alias("lat_a"),
         F.col("lon").alias("lon_a"),
         F.col("cell_x").alias("xa"), F.col("cell_y").alias("ya"),
-        (F.col("by") * 2048 + F.col("bx")).alias("block"),
+        (F.col("by") * stride + F.col("bx")).alias("block"),
     )
     # build side: replicate to the <=4 blocks its ring can reach
     cand_blocks = F.array_distinct(F.array(*[
-        (F.shiftright(F.col("cell_y") + dy, block_shift) * 2048
+        (F.shiftright(F.col("cell_y") + dy, block_shift) * stride
          + F.shiftright(F.col("cell_x") + dx, block_shift))
         for dx in (-ring, ring) for dy in (-ring, ring)
-    ] + [(F.col("by") * 2048 + F.col("bx"))]))
+    ] + [(F.col("by") * stride + F.col("bx"))]))
     b = sel.select(
         F.col("url").alias("url_b"), F.col("lat").alias("lat_b"),
         F.col("lon").alias("lon_b"),

@@ -129,8 +129,15 @@ def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_lists: int = 16,
     join is an equi-join on list id. Probing >1 list recovers recall lost
     at list boundaries (the IVF nprobe knob)."""
     rng = np.random.default_rng(seed)
-    sample = np.stack([r[0] for r in
-                       df.select(vec_col).limit(10_000).collect()]).astype(np.float64)
+    # Deterministic bounded training sample: bare limit() is partition-
+    # layout-dependent (repartitioning the input would move the centroids
+    # and silently change results). A seeded hash filter + id-ordered
+    # limit is reproducible under any physical layout; the orderBy is a
+    # TakeOrdered over the hash-filtered subset, not a full sort.
+    sample_rows = (df.select(F.col(id_col).alias("_sid"), F.col(vec_col))
+                   .where(F.pmod(F.xxhash64(F.col("_sid"), F.lit(seed)), F.lit(4)) == 0)
+                   .orderBy("_sid").limit(10_000).collect())
+    sample = np.stack([r[1] for r in sample_rows]).astype(np.float64)
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     cents = sample[rng.choice(len(sample), n_lists, replace=False)]
     for _ in range(10):  # spherical k-means Lloyd iterations
@@ -209,12 +216,13 @@ def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
         target = 64.0 / (1 + min(probe_bits, 3))
         planes_per_table = max(4, int(math.ceil(math.log2(max(n, 2) / target))))
     # query side multiprobes (home + lowest-margin bit flips); index side
-    # keeps one bucket per table — recall rises without growing the index
+    # keeps one bucket per table — recall rises without growing the index.
+    # ONE hyperplane-matmul UDF pass: the multiprobe output's first
+    # n_tables entries ARE the home buckets, so the index side is a slice.
     base = with_lsh_buckets(df, dim, n_tables, planes_per_table, vec_col,
                             seed, probe_bits=min(probe_bits, planes_per_table),
                             out="probe_buckets")
-    base = with_lsh_buckets(base, dim, n_tables, planes_per_table, vec_col,
-                            seed, out="buckets")
+    base = base.withColumn("buckets", F.slice("probe_buckets", 1, n_tables))
     base = base.persist()
     a = base.select(F.col(id_col).alias("vec_id"),
                     F.explode("probe_buckets").alias("bkt")).distinct()
