@@ -105,21 +105,45 @@ def bwareaopen(cells: DataFrame, min_size: int, max_iter: int = 25) -> DataFrame
             .select("cell", "component", "csize"))
 
 
-def fill_holes(cells: DataFrame, max_iter: int = 25) -> DataFrame:
+# Max complement-grid cells fill_holes / fill_small_voids will materialize.
+# The reference fills PER-STRIP rasters (bounded extents); calling the
+# dense-complement path on a global-extent cell set would explode the range
+# crossJoin — raise instead, and point at the per-group variant.
+FILL_BBOX_BUDGET = 1 << 24  # 16.7M cells ~ a 4096x4096 strip raster
+
+
+def _bbox(cells: DataFrame, pad: int, budget: int) -> tuple[int, int, int, int]:
+    b = cells.agg(F.min("cell_x"), F.max("cell_x"),
+                  F.min("cell_y"), F.max("cell_y")).first()
+    x0, x1 = int(b[0]) - pad, int(b[1]) + pad
+    y0, y1 = int(b[2]) - pad, int(b[3]) + pad
+    area = (x1 - x0 + 1) * (y1 - y0 + 1)
+    if area > budget:
+        raise ValueError(
+            f"fill bounding box is {x1 - x0 + 1}x{y1 - y0 + 1} = {area} cells"
+            f" > budget {budget}: the dense complement grid would explode."
+            " Run per bounded region (fill_holes_grouped) or raise the"
+            " budget explicitly for a genuinely bounded grid.")
+    return x0, x1, y0, y1
+
+
+def fill_holes(cells: DataFrame, max_iter: int = 25,
+               bbox_budget: int = FILL_BBOX_BUDGET) -> DataFrame:
     """binary_fill_holes: CC on the mask COMPLEMENT within the 1-padded
     bounding box; complement components that never touch the box border are
-    interior holes and get filled (lib/raster_array_tools.py:2516;
-    clean_mask complement pass lib/filter_scene.py:1691-1722). 8-connected
-    background, matching the engine's single connectivity rule (documented
-    difference from scipy's 4-connected default background).
+    interior holes and get filled (lib/raster_array_tools.py:2516).
+    8-connected background, matching the engine's single connectivity rule
+    (documented difference from scipy's 4-connected default background).
+    NOTE: unlike the reference clean_mask fill pass this is UNCAPPED
+    (interior holes of any size fill, border-touching voids never do) —
+    the reference-exact capped pass is fill_small_voids.
 
     Scale note: like the reference (which fills per-strip rasters), this
     runs on a BOUNDED grid — the bbox agg collapses to 4 driver scalars and
-    the complement grid is materialized distributed via range crossJoin.
+    the complement grid is materialized distributed via range crossJoin,
+    guarded by bbox_budget.
     Output: (cell, was_hole) = original cells plus filled hole cells."""
-    b = cells.agg(F.min("cell_x"), F.max("cell_x"),
-                  F.min("cell_y"), F.max("cell_y")).first()
-    x0, x1, y0, y1 = int(b[0]) - 1, int(b[1]) + 1, int(b[2]) - 1, int(b[3]) + 1
+    x0, x1, y0, y1 = _bbox(cells, 1, bbox_budget)
     spark = cells.sparkSession
     grid = (spark.range(x0, x1 + 1).select(F.col("id").alias("cell_x"))
             .crossJoin(spark.range(y0, y1 + 1).select(F.col("id").alias("cell_y")))
@@ -136,12 +160,127 @@ def fill_holes(cells: DataFrame, max_iter: int = 25) -> DataFrame:
             .unionByName(holes.withColumn("was_hole", F.lit(True))))
 
 
-def clean_mask(cells: DataFrame, min_size: int, max_iter: int = 25) -> DataFrame:
-    """Full clean_mask semantics (lib/filter_scene.py:1691-1722): drop
-    small foreground components (bwareaopen), then fill interior holes of
-    what remains (the complement pass). Output: (cell, was_hole)."""
-    kept = bwareaopen(cells, min_size, max_iter)
+def fill_small_voids(cells: DataFrame, fill_pix: int, max_iter: int = 25,
+                     bbox_budget: int = FILL_BBOX_BUDGET) -> DataFrame:
+    """The clean_mask fill pass, reference-exact: ~bwareaopen(~mask,
+    fill_pix) (lib/filter_scene.py:1722). CC over the complement within
+    the UNPADDED bounding box — the analogue of the reference's finite
+    array extent — and fill complement components SMALLER than fill_pix.
+    Border-touching small voids fill too (they are ordinary components of
+    the bounded complement, exactly as in the reference); voids of
+    fill_pix or more cells stay open regardless of position.
+    Output: (cell, was_hole)."""
+    x0, x1, y0, y1 = _bbox(cells, 0, bbox_budget)
+    spark = cells.sparkSession
+    grid = (spark.range(x0, x1 + 1).select(F.col("id").alias("cell_x"))
+            .crossJoin(spark.range(y0, y1 + 1).select(F.col("id").alias("cell_y")))
+            .withColumn("cell", F.expr(D.cell_id_from_xy())))
+    comp = grid.join(cells.select("cell"), "cell", "left_anti")
+    labels = connected_components(comp, max_iter)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    holes = (labels.join(sizes, "component")
+             .where(F.col("csize") < fill_pix).select("cell"))
+    return (cells.select("cell").withColumn("was_hole", F.lit(False))
+            .unionByName(holes.withColumn("was_hole", F.lit(True))))
+
+
+def clean_mask(cells: DataFrame, remove_pix: int, fill_pix: int,
+               max_iter: int = 25,
+               bbox_budget: int = FILL_BBOX_BUDGET) -> DataFrame:
+    """Full clean_mask semantics (lib/filter_scene.py:1691-1722):
+    ~bwareaopen(~bwareaopen(mask, remove_pix), fill_pix) — drop foreground
+    components smaller than remove_pix, then fill complement voids smaller
+    than fill_pix (large interior holes stay open; small border-touching
+    voids fill). Output: (cell, was_hole)."""
+    kept = bwareaopen(cells, remove_pix, max_iter)
     kept_xy = kept.withColumn(
         "cell_y", F.expr(f"cast(floor(cell / {D.LON_CELL_STRIDE}) as bigint)"),
     ).withColumn("cell_x", F.col("cell") - F.col("cell_y") * D.LON_CELL_STRIDE)
-    return fill_holes(kept_xy.select("cell", "cell_x", "cell_y"), max_iter)
+    return fill_small_voids(kept_xy.select("cell", "cell_x", "cell_y"),
+                            fill_pix, max_iter, bbox_budget)
+
+
+def fill_holes_grouped(df: DataFrame, group_col: str = "group_id",
+                       fill_pix: int | None = None) -> DataFrame:
+    """Per-group fill: each group's bbox is bounded by ITS extent (the
+    reference processes per-scene rasters the same way), so no global
+    budget applies and groups fan out as tasks. Runs the numpy border
+    flood inside applyInPandas — per-group cell sets are bounded after the
+    distinct, the same shape as operators/footprint.py.
+
+    fill_pix=None: uncapped interior fill (binary_fill_holes semantics);
+    fill_pix=k: reference clean_mask fill pass (fill voids < k cells,
+    border-touching included, within the group's unpadded bbox).
+    Output: (group, cell, was_hole)."""
+    import numpy as np
+    import pandas as pd
+
+    def _fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = pdf[group_col].iloc[0]
+        xs = pdf["cell_x"].to_numpy(np.int64)
+        ys = pdf["cell_y"].to_numpy(np.int64)
+        pad = 0 if fill_pix is not None else 1
+        x0, y0 = xs.min() - pad, ys.min() - pad
+        w = xs.max() + pad - x0 + 1
+        h = ys.max() + pad - y0 + 1
+        occ = np.zeros((h, w), dtype=bool)
+        occ[ys - y0, xs - x0] = True
+        # label the complement with a two-pass union-find over 8-adjacency
+        comp = ~occ
+        lab = -np.ones((h, w), dtype=np.int64)
+        parent: list[int] = []
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for yy in range(h):
+            for xx in range(w):
+                if not comp[yy, xx]:
+                    continue
+                nbrs = []
+                for dy, dx in ((-1, -1), (-1, 0), (-1, 1), (0, -1)):
+                    py, px = yy + dy, xx + dx
+                    if 0 <= py < h and 0 <= px < w and comp[py, px]:
+                        nbrs.append(find(int(lab[py, px])))
+                if not nbrs:
+                    lab[yy, xx] = len(parent)
+                    parent.append(len(parent))
+                else:
+                    root = min(nbrs)
+                    lab[yy, xx] = root
+                    for r in nbrs:
+                        parent[r] = root
+        sizes: dict[int, int] = {}
+        border: set[int] = set()
+        for yy in range(h):
+            for xx in range(w):
+                if not comp[yy, xx]:
+                    continue
+                r = find(int(lab[yy, xx]))
+                sizes[r] = sizes.get(r, 0) + 1
+                if yy in (0, h - 1) or xx in (0, w - 1):
+                    border.add(r)
+        rows = [{group_col: grp,
+                 "cell": int((yy + y0) * D.LON_CELL_STRIDE + (xx + x0)),
+                 "was_hole": False}
+                for yy, xx in zip(*np.nonzero(occ))]
+        for yy in range(h):
+            for xx in range(w):
+                if not comp[yy, xx]:
+                    continue
+                r = find(int(lab[yy, xx]))
+                filled = (sizes[r] < fill_pix if fill_pix is not None
+                          else r not in border)
+                if filled:
+                    rows.append({group_col: grp,
+                                 "cell": int((yy + y0) * D.LON_CELL_STRIDE
+                                             + (xx + x0)),
+                                 "was_hole": True})
+        return pd.DataFrame(rows, columns=[group_col, "cell", "was_hole"])
+
+    cells = df.select(group_col, "cell", "cell_x", "cell_y").distinct()
+    return cells.groupBy(group_col).applyInPandas(
+        _fill, f"{group_col} string, cell long, was_hole boolean")

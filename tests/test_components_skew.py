@@ -151,3 +151,104 @@ def test_salted_agg_min_max_bitor(spark):
                F.expr("bit_or(flags)").alias("fl"),
                F.count("url").alias("n"))).collect()}
     assert got == want
+
+
+def _clean_mask_fixture():
+    """Mask with: a large blob carrying (a) a small 2-cell interior hole,
+    (b) a large 5x5 interior hole, (c) a small border-touching notch; plus
+    a tiny 2-cell foreground speck far away (removed by remove_pix)."""
+    blob = {(x, y) for x in range(0, 14) for y in range(0, 14)}
+    small_hole = {(3, 3), (4, 3)}
+    big_hole = {(x, y) for x in range(7, 12) for y in range(7, 12)}
+    notch = {(0, 5), (1, 5)}          # touches bbox border x=0
+    speck = {(30, 30), (31, 30)}
+    return (blob - small_hole - big_hole - notch) | speck
+
+
+def _ref_clean_mask(coords, remove_pix, fill_pix):
+    """Pure-python oracle of lib/filter_scene.py:1691-1722:
+    ~bwareaopen(~bwareaopen(mask, remove_pix), fill_pix) over the
+    occupied bbox (8-connectivity both passes)."""
+    def comps(cells):
+        remaining, out = set(cells), []
+        while remaining:
+            seed = remaining.pop()
+            comp, frontier = {seed}, [seed]
+            while frontier:
+                x, y = frontier.pop()
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        n = (x + dx, y + dy)
+                        if n in remaining:
+                            remaining.discard(n)
+                            comp.add(n)
+                            frontier.append(n)
+            out.append(comp)
+        return out
+
+    kept = set().union(*(c for c in comps(coords) if len(c) >= remove_pix))
+    xs = [c[0] for c in kept]; ys = [c[1] for c in kept]
+    bbox = {(x, y) for x in range(min(xs), max(xs) + 1)
+            for y in range(min(ys), max(ys) + 1)}
+    voids = bbox - kept
+    filled = set().union(set(), *(c for c in comps(voids) if len(c) < fill_pix))
+    return kept | filled
+
+
+def test_clean_mask_reference_semantics(spark):
+    """fill_pix caps the fill: small interior hole + small border notch
+    fill, the 5x5 interior hole stays open, the speck is removed."""
+    from setsm_postprocessing_python_spark.operators.components import clean_mask
+
+    coords = _clean_mask_fixture()
+    out = clean_mask(_cells_df(spark, coords), remove_pix=10, fill_pix=10)
+    got = {r.cell for r in out.collect()}
+    want_xy = _ref_clean_mask(coords, remove_pix=10, fill_pix=10)
+    want = {y * D.LON_CELL_STRIDE + x for x, y in want_xy}
+    assert got == want
+    # the semantics the ADVICE flagged, asserted explicitly:
+    assert (3 + 3 * D.LON_CELL_STRIDE) in got            # small hole filled
+    assert (5 * D.LON_CELL_STRIDE + 0) in got            # border notch filled
+    assert (9 + 9 * D.LON_CELL_STRIDE) not in got        # big hole stays open
+    assert (30 + 30 * D.LON_CELL_STRIDE) not in got      # speck removed
+
+
+def test_fill_holes_bbox_budget_guard(spark):
+    from setsm_postprocessing_python_spark.operators.components import fill_holes
+
+    df = _cells_df(spark, [(0, 0), (100_000, 100_000)])
+    with pytest.raises(ValueError, match="budget"):
+        fill_holes(df, bbox_budget=1 << 20)
+
+
+def test_fill_holes_grouped_matches_global(spark):
+    """Per-group variant == global fill_holes run per group (uncapped),
+    and == fill_small_voids semantics when capped."""
+    from setsm_postprocessing_python_spark.operators.components import (
+        fill_holes, fill_holes_grouped, fill_small_voids)
+
+    ring = [(20 + dx, 20 + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)]
+    line = [(100 + i, 0) for i in range(5)]
+    rows = ([("g1", x, y) for x, y in ring] + [("g2", x, y) for x, y in line])
+    df = spark.createDataFrame(
+        [(g, y * D.LON_CELL_STRIDE + x, x, y) for g, x, y in rows],
+        "group_id string, cell long, cell_x long, cell_y long")
+    got = {(r.group_id, r.cell, r.was_hole)
+           for r in fill_holes_grouped(df).collect()}
+    want = set()
+    for g in ("g1", "g2"):
+        sub = df.where(F.col("group_id") == g)
+        want |= {(g, r.cell, r.was_hole) for r in fill_holes(sub).collect()}
+    assert got == want
+    assert ("g1", 20 + 20 * D.LON_CELL_STRIDE, True) in got  # ring center
+
+    capped = {(r.group_id, r.cell, r.was_hole)
+              for r in fill_holes_grouped(df, fill_pix=2).collect()}
+    want_c = set()
+    for g in ("g1", "g2"):
+        sub = df.where(F.col("group_id") == g)
+        want_c |= {(g, r.cell, r.was_hole)
+                   for r in fill_small_voids(sub, fill_pix=2).collect()}
+    assert capped == want_c
+    assert ("g1", 20 + 20 * D.LON_CELL_STRIDE, True) in capped  # 1 < fill_pix
