@@ -45,7 +45,7 @@ def _sf_from_dir(d: str) -> float:
 # it keys the per-query history so only like-for-like runs are compared.
 AMP = int(os.environ.get("SPARK_GRAFT_AMP", "40"))
 EMB_AMP = int(os.environ.get("SPARK_GRAFT_EMB_AMP", "8"))
-BENCH_REV = os.environ.get("SPARK_GRAFT_BENCH_REV", "r2-amp40x8")
+BENCH_REV = os.environ.get("SPARK_GRAFT_BENCH_REV", "r3-amp40x8")
 
 
 def amplified_dir(spark, sf_dir: str, amp: int, emb_amp: int) -> str:
@@ -108,7 +108,14 @@ def headline_queries():
         "ring_density": Q.q_ring_density,   # two-stage neighborhood agg
         "mask_filter": Q.q_mask_filter,     # flags algebra + group census
         "dedup_exact": Q.q_dedup_exact,     # hash groupBy dedup
-        "minhash_lsh": QX.q_minhash_lsh,    # shingle -> minhash -> band join
+        "near_dup": QX.q_near_dup,          # exact-dup pre-collapse -> LSH
+                                            # over representatives (the
+                                            # production composition; raw
+                                            # q_minhash_lsh stays the
+                                            # driver-scale band oracle —
+                                            # benching it on 40x-replicated
+                                            # input measured k^2 duplicate
+                                            # pairs, not the operator)
         "ann_lsh": QX.q_ann_lsh,            # LSH-bucketed ANN (scale path;
                                             # exact O(n^2) topk is the
                                             # correctness oracle, not a bench)

@@ -40,14 +40,20 @@ def main() -> None:
                       shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     OUT.mkdir(parents=True, exist_ok=True)
+    from setsm_postprocessing_python_spark.plans.queries_ext import (
+        EMB_GOLDEN_COLS, EMB_KEY_EXPR_SPARK)
+
     qs = E.queries()
     for sf_dir in SF_DIRS:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         sf_key = docs.agg({"n_chars": "sum"}).first()[0]
-        for name in GOLDEN_COLS:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb_key = emb.selectExpr(EMB_KEY_EXPR_SPARK).first()[0]
+        for name, key in ([(n, sf_key) for n in GOLDEN_COLS]
+                          + [(n, emb_key) for n in EMB_GOLDEN_COLS]):
             pdf = qs[name](spark, sf_dir).toPandas()
-            pdf["sf_key"] = sf_key
-            path = OUT / f"{name}_sf{sf_key}.parquet"
+            pdf["sf_key"] = key
+            path = OUT / f"{name}_sf{key}.parquet"
             pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
                            path)
             print(f"wrote {path} ({len(pdf)} rows)")

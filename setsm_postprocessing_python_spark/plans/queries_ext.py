@@ -35,22 +35,18 @@ def _with_cells(body: str, extra_ctes: str = "") -> str:
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish runs), quality scoring
-    (length/diversity/stopword bands) and Gopher-style document filters
-    (word-count band, mean-word-length band, symbol-ratio cap) in one
-    oracle-checked output — all pure JVM expressions over the same scan."""
-    df = T.with_gopher(T.with_quality(T.with_token_stats(
-        P.pages(spark, sf_dir))))
+    (length/diversity/stopword bands), Gopher-style document filters
+    (word-count band, mean-word-length band, symbol-ratio cap) and
+    language-ID (stopword-profile argmax + char-bigram n-gram heuristic)
+    in one oracle-checked output — all pure JVM expressions over the same
+    scan (merged with the former q_langid: identical input, identical
+    plan shape, one registry slot)."""
+    df = T.with_langid_ngram(T.with_langid(T.with_gopher(T.with_quality(
+        T.with_token_stats(P.pages(spark, sf_dir))))))
     return df.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                      "n_tokens", "n_unique", "n_bpe", "ttr_x1000",
                      "len_score", "div_score", "sw_score", "quality",
-                     "mean_tok_len_x100", "n_symbols", "gopher_ok")
-
-
-def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID, both variants in one output: stopword-profile argmax
-    and the char-bigram-profile n-gram heuristic."""
-    df = T.with_langid_ngram(T.with_langid(P.pages(spark, sf_dir)))
-    return df.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     "mean_tok_len_x100", "n_symbols", "gopher_ok",
                      "lang_pred", "lang_pred_ngram")
 
 
@@ -102,6 +98,18 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.lsh_candidate_pairs(P.pages(spark, sf_dir))
 
 
+def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup composition: exact-dup pre-collapse, then
+    MinHash-LSH candidates over the representatives only, pairs weighted
+    by exact-group sizes. On duplicate-heavy web data raw LSH is quadratic
+    in duplicate-group size (k identical docs share every band -> k^2/2
+    trivially-known pairs); collapsing first removes that blowup —
+    reference analogue: redundancy gates skip known-covered work before
+    expensive steps (lib/scenes2strips.py:271-274). q_minhash_lsh keeps
+    the raw path as the band-algebra oracle."""
+    return DD.near_dup_pipeline(P.pages(spark, sf_dir))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(P.pages(spark, sf_dir)).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "simhash")
@@ -125,10 +133,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only driver check; recall vs brute force is
-    asserted in tests/test_coreg_similarity.py). Bucket sizing comes from
-    the parquet footer row count — no pre-job (at Iceberg scale: snapshot
-    summary stats)."""
+    """LSH-bucketed ANN. Approximate by design but DETERMINISTIC given the
+    fixed seed (hyperplanes, footer-count bucket sizing, total tie-breaks),
+    so the driver check is a committed golden parquet keyed by embedding
+    content; recall vs brute force is independently asserted in
+    tests/test_coreg_similarity.py. Bucket sizing comes from the parquet
+    footer row count — no pre-job (at Iceberg scale: snapshot summary
+    stats). Cosine rounded for cross-round hash stability (BLAS ulp)."""
     from pathlib import Path
 
     import pyarrow.parquet as pq
@@ -137,14 +148,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = [p] if p.is_file() else sorted(p.glob("*.parquet"))
     n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     emb = spark.read.parquet(str(p))
-    return SIM.lsh_topk(emb, dim=64, k=3, n_hint=n)
+    out = SIM.lsh_topk(emb, dim=64, k=3, n_hint=n)
+    return out.select("vec_id", "nbr_id", F.round("cosine", 6).alias("cosine"),
+                      "sim_rank")
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse-quantizer lists + nprobe search (rows-only;
-    recall asserted in tests)."""
+    """IVF-style ANN: coarse-quantizer lists + nprobe search. Deterministic
+    (seeded hash-filtered training sample, seeded Lloyd init), golden-
+    checked like q_ann_lsh; recall asserted in tests."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SIM.ivf_topk(emb, dim=64, k=3)
+    out = SIM.ivf_topk(emb, dim=64, k=3)
+    return out.select("vec_id", "nbr_id", F.round("cosine", 6).alias("cosine"),
+                      "sim_rank")
 
 
 # ---------------------------------------------------------------------------
@@ -302,11 +318,9 @@ ORACLES: dict[str, str] = {
         + ", ".join(f"{e} AS {n}" for n, e in T.quality_exprs(_DD).items())
         + ", "
         + ", ".join(f"{e} AS {n}" for n, e in T.gopher_exprs(_DD).items())
+        + f", {T.langid_expr(_DD)} AS lang_pred"
+        + f", {T.langid_ngram_expr(_DD)} AS lang_pred_ngram"
         + " FROM cells"),
-    "q_langid": _with_cells(
-        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
-        f"{T.langid_expr(_DD)} AS lang_pred, "
-        f"{T.langid_ngram_expr(_DD)} AS lang_pred_ngram FROM cells"),
     "q_fingerprint": _with_cells(
         T.fingerprint_sql(_DD, "cells").replace(
             "SELECT doc_id,", "SELECT CAST(doc_id AS BIGINT) AS doc_id,")),
@@ -347,6 +361,47 @@ ORACLES: dict[str, str] = {
                  string_agg(hash_idx || ':' || minhash, ','
                             ORDER BY hash_idx || ':' || minhash) AS band_sig
           FROM minh GROUP BY doc_id, CAST(floor(hash_idx / {DD.ROWS_PER_BAND}) AS INT)
+        )"""),
+    # exact-dup pre-collapse + LSH over representatives: the same band
+    # algebra as q_minhash_lsh, but the shingle CTE reads the per-md5
+    # representatives and pairs carry exact-group sizes
+    "q_near_dup": _with_cells(
+        f"""SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+                   CAST(b.doc_id AS BIGINT) AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_bands,
+                   any_value(ra.n_dups) AS n_docs_a,
+                   any_value(rb.n_dups) AS n_docs_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+            JOIN reps ra ON ra.doc_id = a.doc_id
+            JOIN reps rb ON rb.doc_id = b.doc_id
+            GROUP BY a.doc_id, b.doc_id""",
+        extra_ctes=f"""
+        reps AS (
+          SELECT doc_id, text, n_dups FROM (
+            SELECT doc_id, text,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+                   CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                     AS n_dups
+            FROM cells) WHERE doc_id = keep_id
+        ),
+        rsh AS (SELECT DISTINCT doc_id, unnest({DD.shingles_expr(_DD)})
+                AS shingle FROM reps),
+        {_minhash_params_values()},
+        minh AS (
+          SELECT doc_id, p.i AS hash_idx,
+                 min((p.a * {D.hex8_i64('shingle', 1, _DD)} + p.b) % {M31})
+                   AS minhash
+          FROM rsh CROSS JOIN params p GROUP BY doc_id, p.i
+        ),
+        bands AS (
+          SELECT doc_id, CAST(floor(hash_idx / {DD.ROWS_PER_BAND}) AS INT)
+                   AS band,
+                 string_agg(hash_idx || ':' || minhash, ','
+                            ORDER BY hash_idx || ':' || minhash) AS band_sig
+          FROM minh
+          GROUP BY doc_id, CAST(floor(hash_idx / {DD.ROWS_PER_BAND}) AS INT)
         )"""),
     "q_simhash": _with_cells(
         """SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -565,6 +620,32 @@ def golden_oracle(name: str, cols: str) -> str:
             f"WHERE sf_key = (SELECT sum(n_chars) FROM documents)")
 
 
+# embeddings-keyed goldens: the ANN queries are approximate by design but
+# deterministic given their seeds, so the driver can hash-compare a frozen
+# run; recall gates in tests/test_coreg_similarity.py pin the semantics.
+# Key = content-derived scalar of the EMBEDDINGS table (sf0.001 and sf0.01
+# share the 500-row count, so count is not a valid key — same rationale as
+# the documents sf_key).
+EMB_KEY_SQL_DUCK = ("SELECT sum(CAST(floor(CAST(embedding[1] AS DOUBLE)"
+                    " * 1000000) AS BIGINT)) FROM embeddings")
+EMB_KEY_EXPR_SPARK = ("sum(CAST(floor(CAST(embedding[0] AS DOUBLE)"
+                      " * 1000000) AS BIGINT))")
+
+
+def golden_oracle_emb(name: str, cols: str) -> str:
+    return (f"SELECT {cols} FROM "
+            f"read_parquet('/root/repo/tests/fixtures/goldens/{name}_*.parquet') "
+            f"WHERE sf_key = ({EMB_KEY_SQL_DUCK})")
+
+
+EMB_GOLDEN_COLS = {
+    "q_ann_lsh": "vec_id, nbr_id, cosine, sim_rank",
+    "q_ann_ivf": "vec_id, nbr_id, cosine, sim_rank",
+}
+for _n, _c in EMB_GOLDEN_COLS.items():
+    ORACLES[_n] = golden_oracle_emb(_n, _c)
+
+
 GOLDEN_COLS = {
     "q_cell_indexes": "url, cell_s2, cell_hex",
     "q_footprints": "group_id, n_cells, n_vertices, hull_area, wkt",
@@ -590,16 +671,16 @@ QUERIES = {
     "q_footprints": q_footprints,
     "q_feather_field": q_feather_field,
     "q_hex_knn": q_hex_knn,
-    "q_langid": q_langid,
     "q_fingerprint": q_fingerprint,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_minhash_lsh": q_minhash_lsh,
+    "q_near_dup": q_near_dup,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
     "q_cosine_topk": q_cosine_topk,
     "q_merge_order": q_merge_order,
     "q_coregister": q_coregister,
     "q_feather_blend": q_feather_blend,
-    "q_ann_lsh": q_ann_lsh,            # rows-only (approximate by design)
-    "q_ann_ivf": q_ann_ivf,            # rows-only (approximate by design)
+    "q_ann_lsh": q_ann_lsh,            # approximate by design; deterministic
+    "q_ann_ivf": q_ann_ivf,            # given seeds -> golden-checked
 }

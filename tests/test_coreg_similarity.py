@@ -145,3 +145,19 @@ def test_multimodal_plumbing(spark):
     # strict mode is the marked real-codec integration point
     with pytest.raises(Exception):
         decode_features(media, strict=True).limit(1).collect()
+
+
+def test_ivf_deterministic_under_repartition(spark):
+    """ADVICE r2: bare limit() made IVF centroids partition-layout-
+    dependent. The seeded hash-filtered, id-ordered sample must give
+    IDENTICAL output (ids, ranks, cosines) under any physical layout."""
+    from setsm_postprocessing_python_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = {(r.vec_id, r.nbr_id, r.sim_rank, round(r.cosine, 9))
+            for r in ivf_topk(emb, dim=64, k=3).collect()}
+    shuffled = {(r.vec_id, r.nbr_id, r.sim_rank, round(r.cosine, 9))
+                for r in ivf_topk(emb.repartition(17), dim=64, k=3).collect()}
+    coalesced = {(r.vec_id, r.nbr_id, r.sim_rank, round(r.cosine, 9))
+                 for r in ivf_topk(emb.coalesce(1), dim=64, k=3).collect()}
+    assert base == shuffled == coalesced
