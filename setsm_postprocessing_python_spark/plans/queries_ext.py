@@ -213,24 +213,44 @@ def q_cell_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-ring mean/std of the page z-score (local-stdev analogue,
-    lib/filter_scene.py:1517-1524)."""
-    from ..operators.neighborhood import ring_stat
+    lib/filter_scene.py:1517-1524) joined with the k-ring Shannon entropy
+    of lang (entropyfilt analogue, lib/raster_array_tools.py:2541-2750) —
+    merged with the former q_ring_entropy (same input, same per-occupied-
+    cell output grain, one registry slot)."""
+    from ..operators.neighborhood import ring_entropy, ring_stat
 
     df = P.geocoded_pages(spark, sf_dir).withColumn("z", F.expr(D.z_expr(D.SPARK)))
-    out = ring_stat(df, "z", ring=1)
-    return out.select("cell", F.col("n_in_ring").cast("bigint").alias("n_in_ring"),
-                      F.round("ring_mean", 6).alias("ring_mean"),
-                      F.round("ring_std", 6).alias("ring_std"))
+    stats = ring_stat(df, "z", ring=1)
+    ent = ring_entropy(df, "lang", ring=1)
+    return (stats.join(ent, "cell")
+            .select("cell", F.col("n_in_ring").cast("bigint").alias("n_in_ring"),
+                    F.round("ring_mean", 6).alias("ring_mean"),
+                    F.round("ring_std", 6).alias("ring_std"),
+                    F.round("ring_entropy", 6).alias("ring_entropy")))
 
 
-def q_ring_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-ring Shannon entropy of lang (entropyfilt analogue,
-    lib/raster_array_tools.py:2541-2750)."""
-    from ..operators.neighborhood import ring_entropy
+def q_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end manifest-checkpointed pipeline (the run_s2s analogue,
+    batch_scenes2strips.py:962-1565): geocode+flags -> tile assign ->
+    merge order -> per-tile rollup, every stage written through
+    plans/manifest.run_stage (partitioned parquet, fingerprint lineage,
+    .fin-style resume). Returns the FINAL stage read back from its
+    partitioned sink, so the driver hash-checks the whole write/read
+    path; the oracle recomputes the rollup straight off the pages CTE.
+    A fresh temp workdir per call keeps repeated driver runs hermetic
+    (resume-after-kill semantics are pinned by tests/test_manifest_resume
+    and test_pipeline)."""
+    import tempfile
 
-    df = P.geocoded_pages(spark, sf_dir)
-    out = ring_entropy(df, "lang", ring=1)
-    return out.select("cell", F.round("ring_entropy", 6).alias("ring_entropy"))
+    from .pipeline import run_pipeline
+
+    workdir = tempfile.mkdtemp(prefix="spark_graft_pipe_")
+    run_pipeline(spark, sf_dir, workdir)
+    out = spark.read.parquet(f"{workdir}/out/tile_rollup")
+    return out.select(F.col("unit").alias("tile_id"),
+                      F.col("n_pages").cast("bigint").alias("n_pages"),
+                      F.col("n_flagged").cast("bigint").alias("n_flagged"),
+                      F.col("flags_merged").cast("int").alias("flags_merged"))
 
 
 ADAPTIVE_MAX_PAGES = 50
@@ -528,38 +548,51 @@ ORACLES["q_percentile_gate"] = _with_cells(
               GROUP BY group_id)""")
 
 ORACLES["q_ring_stats"] = _with_cells(
-    """SELECT o.target_cell AS cell, CAST(o.n AS BIGINT) AS n_in_ring,
-              round(o.s / o.n, 6) AS ring_mean,
-              round(sqrt(greatest(o.ss / o.n - (o.s / o.n) * (o.s / o.n), 0.0)), 6)
-                AS ring_std
+    """SELECT s.cell, s.n_in_ring, s.ring_mean, s.ring_std, e.ring_entropy
        FROM (
-         SELECT (p.cell_y + f.dy) * 131072 + (p.cell_x + f.dx) AS target_cell,
-                sum(p.s) AS s, sum(p.ss) AS ss, sum(p.n) AS n
-         FROM (SELECT cell_x, cell_y, sum(z) AS s, sum(z * z) AS ss,
-                      count(*) AS n
-               FROM zc GROUP BY cell_x, cell_y) p
-         CROSS JOIN offs f GROUP BY 1
-       ) o
-       JOIN (SELECT DISTINCT cell FROM cells) c ON o.target_cell = c.cell""",
+         SELECT o.target_cell AS cell, CAST(o.n AS BIGINT) AS n_in_ring,
+                round(o.s / o.n, 6) AS ring_mean,
+                round(sqrt(greatest(o.ss / o.n - (o.s / o.n) * (o.s / o.n), 0.0)), 6)
+                  AS ring_std
+         FROM (
+           SELECT (p.cell_y + f.dy) * 131072 + (p.cell_x + f.dx) AS target_cell,
+                  sum(p.s) AS s, sum(p.ss) AS ss, sum(p.n) AS n
+           FROM (SELECT cell_x, cell_y, sum(z) AS s, sum(z * z) AS ss,
+                        count(*) AS n
+                 FROM zc GROUP BY cell_x, cell_y) p
+           CROSS JOIN offs f GROUP BY 1
+         ) o
+         JOIN (SELECT DISTINCT cell FROM cells) c ON o.target_cell = c.cell
+       ) s JOIN (
+         SELECT e.target_cell AS cell,
+                round(log2(CAST(e.N AS DOUBLE)) - e.nlogn / e.N, 6) AS ring_entropy
+         FROM (
+           SELECT target_cell, sum(n) AS N,
+                  sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))) AS nlogn
+           FROM (
+             SELECT (p.cell_y + f.dy) * 131072 + (p.cell_x + f.dx) AS target_cell,
+                    p.lang, sum(p.n) AS n
+             FROM (SELECT cell_x, cell_y, lang, count(*) AS n
+                   FROM cells GROUP BY cell_x, cell_y, lang) p
+             CROSS JOIN offs f GROUP BY 1, 2
+           ) GROUP BY target_cell
+         ) e
+         JOIN (SELECT DISTINCT cell FROM cells) c ON e.target_cell = c.cell
+       ) e ON s.cell = e.cell""",
     extra_ctes=D.ring_offsets_values(1)
     + f", zc AS (SELECT *, {D.z_expr(_DD)} AS z FROM cells)")
 
-ORACLES["q_ring_entropy"] = _with_cells(
-    """SELECT e.target_cell AS cell,
-              round(log2(CAST(e.N AS DOUBLE)) - e.nlogn / e.N, 6) AS ring_entropy
-       FROM (
-         SELECT target_cell, sum(n) AS N,
-                sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))) AS nlogn
-         FROM (
-           SELECT (p.cell_y + f.dy) * 131072 + (p.cell_x + f.dx) AS target_cell,
-                  p.lang, sum(p.n) AS n
-           FROM (SELECT cell_x, cell_y, lang, count(*) AS n
-                 FROM cells GROUP BY cell_x, cell_y, lang) p
-           CROSS JOIN offs f GROUP BY 1, 2
-         ) GROUP BY target_cell
-       ) e
-       JOIN (SELECT DISTINCT cell FROM cells) c ON e.target_cell = c.cell""",
-    extra_ctes=D.ring_offsets_values(1))
+# pipeline rollup oracle: the same per-tile census straight off the pages
+# CTE — if any stage of the manifest-checkpointed chain drops/dups rows or
+# mangles flags, the hash diverges
+ORACLES["q_pipeline_rollup"] = _with_cells(
+    f"""SELECT tile_id, CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(CASE WHEN flags > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               CAST(bit_or(flags) AS INT) AS flags_merged
+        FROM (SELECT {D.quadkey_expr(_DD)} AS tile_id,
+                     {D.flags_expr(_DD)} AS flags FROM cells)
+        GROUP BY tile_id""")
 
 
 # adaptive quad-tree oracle: the split-while-too-big tree is equivalent to
@@ -665,7 +698,7 @@ QUERIES = {
     "q_percentile_gate": q_percentile_gate,
     "q_cell_indexes": q_cell_indexes,
     "q_ring_stats": q_ring_stats,
-    "q_ring_entropy": q_ring_entropy,
+    "q_pipeline_rollup": q_pipeline_rollup,
     "q_adaptive_tiles": q_adaptive_tiles,
     "q_bwareaopen": q_bwareaopen,
     "q_footprints": q_footprints,
