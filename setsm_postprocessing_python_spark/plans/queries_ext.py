@@ -291,14 +291,30 @@ def q_feather_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group footprint hull + bounding rect (getFPvertices /
-    rectFootprint analogues; rows-only — hull is procedural, properties
-    tested in tests/test_footprint.py)."""
+    """Footprint polygons at two grains (getFPvertices / concave_hull_image
+    / DecimatePoly / rectFootprint analogues; golden oracle, properties
+    tested in tests/test_footprint.py):
+    - per host group: pages hash-scatter globally, so group cells form
+      many 4-connected regions -> the documented convex fallback rows;
+    - per connected component of occupied coarse blocks: contiguous by
+      construction -> real concave boundary-trace rows (is_concave=true),
+      so the driver hash-locks the trace + decimation path every round."""
+    from ..operators.components import connected_components
     from ..operators.footprint import group_footprints
+    from .queries_ref import _blocks
 
     fp = group_footprints(P.geocoded_pages(spark, sf_dir))
-    return fp.select("group_id", "n_cells", "n_vertices",
-                     F.round("hull_area", 6).alias("hull_area"), "wkt")
+    blocks = _blocks(spark, sf_dir)
+    labels = connected_components(blocks)
+    blk = (blocks.join(labels, "cell")
+           .select(F.concat(F.lit("blk"), F.col("component").cast("string"))
+                   .alias("group_id"), "cell_x", "cell_y"))
+    # block grid is cell>>12 -> 4096 cells per block = 20.48 deg
+    fp_blk = group_footprints(blk, cells_per_deg=D.CELLS_PER_DEG / 4096.0)
+    return fp.unionByName(fp_blk).select(
+        "group_id", "n_cells", "n_vertices",
+        F.round("hull_area", 6).alias("hull_area"),
+        F.round("convex_area", 6).alias("convex_area"), "is_concave", "wkt")
 
 
 def q_bwareaopen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,7 +697,8 @@ for _n, _c in EMB_GOLDEN_COLS.items():
 
 GOLDEN_COLS = {
     "q_cell_indexes": "url, cell_s2, cell_hex",
-    "q_footprints": "group_id, n_cells, n_vertices, hull_area, wkt",
+    "q_footprints": ("group_id, n_cells, n_vertices, hull_area, "
+                     "convex_area, is_concave, wkt"),
     "q_feather_field": "pair, block, w",
     "q_hex_knn": "url_a, url_b, knn_rank",
     "q_merge_order": "group_id, url, order_idx, segment_num, is_redundant",
