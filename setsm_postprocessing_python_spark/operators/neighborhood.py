@@ -289,6 +289,51 @@ def bilinear_downsample(df: DataFrame, value: str, factor: int = 4) -> DataFrame
         F.when(F.col("ntap") == 4, F.col("sv") / 4.0).alias("z_resized"))
 
 
+def bicubic_downsample(df: DataFrame, value: str, factor: int = 4) -> DataFrame:
+    """Bicubic (Keys a=-0.5, the MATLAB-imresize kernel the reference maps
+    to 'bicubic', lib/raster_array_tools.py:766-979) value-interpolating
+    down-resample, align-centers, no antialias — closing the imresize
+    interp-map gap left by round 2 (nearest/bilinear/area existed).
+
+    Target t samples the source mean-value field at factor*t+(factor-1)/2;
+    the 4 cubic taps per axis sit at fractional offsets ±0.5 and ±1.5,
+    i.e. source coords factor*t + {half-2..half+1} — for factor >= 4 ALL
+    16 separable 2-D taps lie inside the target's own block, so the whole
+    operator is one filter + one groupBy (same plan shape as the bilinear
+    variant; no neighbor-block shuffle). Kernel weights at ±0.5 / ±1.5 are
+    0.5625 / -0.0625 (exact binary fractions -> bit-identical in both
+    dialects). Targets missing any tap -> NULL.
+    Output: (cell = packed target id, z_bicubic)."""
+    assert factor % 2 == 0 and factor >= 4, \
+        "factor 2 taps cross block boundaries; factor >= 4 keeps one groupBy"
+    half = factor // 2
+    positions = [half - 2, half - 1, half, half + 1]
+    weights = [-0.0625, 0.5625, 0.5625, -0.0625]
+
+    def w(col):
+        e = F.lit(None).cast("double")
+        for p, wt in zip(positions, weights):
+            e = F.when(col == p, F.lit(wt)).otherwise(e)
+        return e
+
+    per_cell = df.groupBy("cell", "cell_x", "cell_y").agg(
+        F.sum(F.col(value).cast("double")).alias("s"),
+        F.count(value).alias("n"))
+    per_cell = per_cell.withColumn("v", F.col("s") / F.col("n"))
+    tx = F.floor(F.col("cell_x") / factor)
+    ty = F.floor(F.col("cell_y") / factor)
+    px, py = F.col("cell_x") % factor, F.col("cell_y") % factor
+    taps = per_cell.where(px.isin(positions) & py.isin(positions))
+    contrib = taps.groupBy(tx.alias("tx"), ty.alias("ty")).agg(
+        F.sum(w(px) * w(py) * F.col("v")).alias("sv"),
+        F.count(F.lit(1)).alias("ntap"))
+    targets = per_cell.select(tx.alias("tx"), ty.alias("ty")).distinct()
+    out = targets.join(contrib, ["tx", "ty"], "left")
+    return out.select(
+        (F.col("ty") * D.LON_CELL_STRIDE + F.col("tx")).alias("cell"),
+        F.when(F.col("ntap") == 16, F.col("sv")).alias("z_bicubic"))
+
+
 def ring_entropy(df: DataFrame, category: str = "lang", ring: int = 1) -> DataFrame:
     """Shannon entropy (bits) of a categorical column over each occupied
     cell's k-ring (entropyfilt analogue, lib/raster_array_tools.py:2541-2750,

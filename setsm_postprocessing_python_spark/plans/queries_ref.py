@@ -95,18 +95,22 @@ def q_fill_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-interpolating imresize down-resample (bilinear taps, factor 4)
-    over the per-block mean z field (lib/raster_array_tools.py:766-979);
-    incomplete taps -> NULL."""
-    from ..operators.neighborhood import bilinear_downsample
+    """Value-interpolating imresize down-resample (factor 4) over the
+    per-block mean z field (lib/raster_array_tools.py:766-979), BOTH
+    interpolating kernels in one output: bilinear (4 taps, weights 1/4)
+    and bicubic (Keys a=-0.5, 16 taps); incomplete taps -> NULL."""
+    from ..operators.neighborhood import bicubic_downsample, bilinear_downsample
 
     df = (P.geocoded_pages(spark, sf_dir)
           .withColumn("z", F.expr(D.z_expr(D.SPARK)))
           .select(F.expr(D.block_x_expr(D.SPARK)).alias("cell_x"),
                   F.expr(D.block_y_expr(D.SPARK)).alias("cell_y"), "z")
           .withColumn("cell", F.expr(D.cell_id_from_xy())))
-    out = bilinear_downsample(df, "z", factor=4)
-    return out.select("cell", F.round("z_resized", 6).alias("z_resized"))
+    lin = bilinear_downsample(df, "z", factor=4)
+    cub = bicubic_downsample(df, "z", factor=4)
+    return (lin.join(cub, "cell")
+            .select("cell", F.round("z_resized", 6).alias("z_resized"),
+                    F.round("z_bicubic", 6).alias("z_bicubic")))
 
 
 # composed water-mask thresholds (waterMask.m constants analogue)
@@ -465,7 +469,8 @@ ORACLES: dict[str, str] = {
     "q_resize_bilinear": _with_cells(
         """SELECT t.ty * 131072 + t.tx AS cell,
                   round(CASE WHEN c.ntap = 4 THEN c.sv / 4.0 END, 6)
-                    AS z_resized
+                    AS z_resized,
+                  round(CASE WHEN k.ntap = 16 THEN k.sv END, 6) AS z_bicubic
            FROM (SELECT DISTINCT CAST(floor(bx / 4) AS BIGINT) AS tx,
                         CAST(floor(by / 4) AS BIGINT) AS ty FROM p) t
            LEFT JOIN (
@@ -474,7 +479,19 @@ ORACLES: dict[str, str] = {
                     sum(v) AS sv, count(*) AS ntap
              FROM p WHERE (bx % 4) IN (1, 2) AND (by % 4) IN (1, 2)
              GROUP BY 1, 2
-           ) c ON t.tx = c.tx AND t.ty = c.ty""",
+           ) c ON t.tx = c.tx AND t.ty = c.ty
+           LEFT JOIN (
+             -- Keys a=-0.5 cubic taps: offsets +-0.5 -> 0.5625,
+             -- +-1.5 -> -0.0625 (exact binary fractions)
+             SELECT CAST(floor(bx / 4) AS BIGINT) AS tx,
+                    CAST(floor(by / 4) AS BIGINT) AS ty,
+                    sum((CASE WHEN (bx % 4) IN (1, 2) THEN 0.5625
+                              ELSE -0.0625 END)
+                        * (CASE WHEN (by % 4) IN (1, 2) THEN 0.5625
+                                ELSE -0.0625 END) * v) AS sv,
+                    count(*) AS ntap
+             FROM p GROUP BY 1, 2
+           ) k ON t.tx = k.tx AND t.ty = k.ty""",
         extra_ctes=f"zb AS (SELECT (cell_x >> 12) AS bx, (cell_y >> 12) AS by, "
         f"{D.z_expr(_DD)} AS z FROM cells), "
         "p AS (SELECT bx, by, sum(z) / count(*) AS v FROM zb GROUP BY 1, 2)"),

@@ -85,3 +85,35 @@ def test_ring_range_matches_numpy(spark):
             want = float(max(nbrs) - min(nbrs))
             assert got[y * D.LON_CELL_STRIDE + x] == pytest.approx(
                 want, rel=1e-12)
+
+
+def test_bicubic_downsample_matches_numpy(spark):
+    """Keys a=-0.5 separable kernel at offsets +-0.5/+-1.5: weights
+    0.5625/-0.0625; all 16 taps inside the target block, NULL if any
+    source cell of the block is missing."""
+    from setsm_postprocessing_python_spark.operators.neighborhood import (
+        bicubic_downsample)
+
+    df, occ, vals = _grid_df(spark, seed=13, fill=0.9)
+    got = {r.cell: r.z_bicubic
+           for r in bicubic_downsample(df, "z", factor=4).collect()}
+    w = {0: -0.0625, 1: 0.5625, 2: 0.5625, 3: -0.0625}
+    targets = {(x // 4, y // 4) for y in range(H) for x in range(W)
+               if occ[y, x]}
+    assert set(got) == {ty * D.LON_CELL_STRIDE + tx for tx, ty in targets}
+    for tx, ty in targets:
+        taps = [(4 * tx + i, 4 * ty + j) for i in range(4) for j in range(4)]
+        cell = ty * D.LON_CELL_STRIDE + tx
+        if all(x < W and y < H and occ[y, x] for x, y in taps):
+            want = float(sum(w[x % 4] * w[y % 4] * vals[y, x]
+                             for x, y in taps))
+            assert got[cell] == pytest.approx(want, rel=1e-9)
+        else:
+            assert got[cell] is None
+    # constant field is reproduced exactly (kernel sums to 1)
+    const = [(int(y * D.LON_CELL_STRIDE + x), int(x), int(y), 7.5)
+             for x in range(8) for y in range(8)]
+    cdf = spark.createDataFrame(const, "cell long, cell_x long, cell_y long, z double")
+    out = {r.cell: r.z_bicubic
+           for r in bicubic_downsample(cdf, "z", factor=4).collect()}
+    assert all(abs(v - 7.5) < 1e-12 for v in out.values())
