@@ -224,8 +224,12 @@ def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
                             out="probe_buckets")
     base = base.withColumn("buckets", F.slice("probe_buckets", 1, n_tables))
     base = base.persist()
+    # no cross-row distinct here: within a table the home bucket and its
+    # single-bit flips are pairwise distinct and tables carry distinct
+    # key prefixes, so (vec_id, bkt) rows are unique by construction —
+    # a distinct would be a full shuffle of the exploded probe stream
     a = base.select(F.col(id_col).alias("vec_id"),
-                    F.explode("probe_buckets").alias("bkt")).distinct()
+                    F.explode("probe_buckets").alias("bkt"))
     b = base.select(F.col(id_col).alias("nbr_id"),
                     F.explode("buckets").alias("bkt"))
     # dedupe candidates on the id PAIR (cheap fixed-width shuffle), then

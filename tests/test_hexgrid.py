@@ -124,3 +124,79 @@ def test_aperture7_hierarchy():
     nbrs = pack_axial(q.ravel() + 1, r.ravel())
     nq, nr = unpack_axial(hex_parent_a7(nbrs))
     assert int(max(np.abs(pq - nq).max(), np.abs(pr - nr).max())) <= 1
+
+
+# --- icosahedral (true-sphere) layer -------------------------------------
+
+def test_icosa_roundtrip():
+    import numpy as np
+    from setsm_postprocessing_python_spark.functions import hexgrid as H
+
+    rng = np.random.default_rng(42)
+    lat = rng.uniform(-89.9, 89.9, 4000)
+    lon = rng.uniform(-180.0, 180.0, 4000)
+    f, x, y = H.latlon_to_face_xy(lat, lon)
+    la2, lo2 = H.face_xy_to_latlon(f, x, y)
+    assert np.abs(la2 - lat).max() < 1e-9
+    assert np.abs(((lo2 - lon + 180) % 360) - 180).max() < 1e-9
+    assert len(set(f.tolist())) == 20  # a global sample hits every face
+
+
+def test_icosa_cell_containment_at_res8_scale():
+    """Every point lies within one hex circumradius of its cell center
+    (gnomonic distortion at face edges stays below the bound)."""
+    import numpy as np
+    from setsm_postprocessing_python_spark.functions import hexgrid as H
+
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-89.9, 89.9, 4000)
+    lon = rng.uniform(-180.0, 180.0, 4000)
+    cells = H.h3_cell(lat, lon)
+    cla, clo = H.h3_cell_center(cells)
+    dlat = np.radians(cla - lat)
+    dlon = np.radians(((clo - lon + 180) % 360) - 180) * np.cos(np.radians(lat))
+    assert np.sqrt(dlat**2 + dlon**2).max() < H.H3_RES8_SIZE * 1.05
+
+
+def test_icosa_ring_and_parent_invariants():
+    """Interior-cell k-ring has 3k(k+1)+1 distinct cells; aperture-7
+    parent is stable across all 7ish children and maps back via the
+    center-child embedding."""
+    import numpy as np
+    from setsm_postprocessing_python_spark.functions import hexgrid as H
+
+    base = H.h3_cell(np.array([10.0]), np.array([20.0]))[0]
+    face, q, r = H.h3_unpack(np.array([base]))
+    for k in (1, 2, 3):
+        ring = {int(face[0] * H.FACE_STRIDE
+                    + H.pack_axial(np.array([q[0] + dq]), np.array([r[0] + dr]))[0])
+                for dq, dr in H.hex_ring_offsets(k)}
+        assert len(ring) == 3 * k * (k + 1) + 1
+    parent = H.h3_parent_a7(np.array([base]))[0]
+    # the parent's center child has the same parent
+    pf, pq, pr = H.h3_unpack(np.array([parent]))
+    center_child = pf * H.FACE_STRIDE + H.hex_children_center_a7(
+        np.array([parent]) % H.FACE_STRIDE)
+    assert H.h3_parent_a7(center_child)[0] == parent
+    # nearby points (~100 m) share the cell or an adjacent one
+    lat2 = np.array([10.0 + 0.0005])
+    c2 = H.h3_cell(lat2, np.array([20.0]))[0]
+    f2, q2, r2 = H.h3_unpack(np.array([c2]))
+    assert f2[0] == face[0]
+    assert max(abs(int(q2[0] - q[0])), abs(int(r2[0] - r[0]))) <= 2
+
+
+def test_icosa_nearest_face():
+    """Face assignment is argmax dot by construction — cross-check that
+    the gnomonic projection is finite and small on the owning face."""
+    import numpy as np
+    from setsm_postprocessing_python_spark.functions import hexgrid as H
+
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-89.9, 89.9, 2000)
+    lon = rng.uniform(-180.0, 180.0, 2000)
+    _, x, y = H.latlon_to_face_xy(lat, lon)
+    # max in-plane offset on the owning face is bounded by the gnomonic
+    # image of the face's Voronoi vertex (the icosa vertex direction):
+    # tan(center-to-vertex angle ~37.38 deg) ~ 0.764
+    assert np.sqrt(x**2 + y**2).max() < 0.7651
