@@ -334,6 +334,67 @@ def bicubic_downsample(df: DataFrame, value: str, factor: int = 4) -> DataFrame:
         F.when(F.col("ntap") == 16, F.col("sv")).alias("z_bicubic"))
 
 
+def lanczos3_downsample(df: DataFrame, value: str, factor: int = 4) -> DataFrame:
+    """Lanczos-3 value-interpolating down-resample, align-centers, no
+    antialias — the reference's interp='lanczos' backend
+    (lib/raster_array_tools.py:852,863 maps 'lanczos' to
+    cv2.INTER_LANCZOS4 / PIL Image.LANCZOS; PIL's kernel is a=3).
+
+    Why a=3 and not a=2: at the half-pel tap offsets this sampling grid
+    produces (even factor, align-centers -> every tap offset is k+0.5),
+    the NORMALIZED Lanczos-2 kernel is exactly [9/16, -1/16] — identical
+    to the Keys a=-0.5 bicubic already implemented (sin(pi*x) = +-1 and
+    sin(pi*x/2) at x=0.5,1.5 make the ratio exactly -9). Lanczos-3 is the
+    first kernel in the family that is genuinely distinct here, with
+    exact rational half-pel weights [2, -4/9, 2/25]/norm =
+    [450, -100, 18] / 736 at offsets +-0.5, +-1.5, +-2.5.
+
+    The 6 taps per axis span source coords factor*t + (factor-1)/2 +- 2.5,
+    which for factor 4 crosses into the adjacent target block (positions
+    -1 and factor), so unlike the bicubic variant this is NOT one
+    filter+groupBy: each source cell SCATTERS to the <=2 targets per axis
+    within kernel reach (explode by dt in {-1,0,1}, filter |offset| < 3)
+    — the same join-free scatter shape as the ring kernels, one extra
+    narrow explode before the single shuffle. Weights are applied as
+    integer numerators with ONE final division by 736^2 = 541696, so every
+    per-term product is exact in both dialects. Targets missing any of
+    the 36 taps -> NULL.
+    Output: (cell = packed target id, z_lanczos3)."""
+    assert factor % 2 == 0 and factor >= 4, \
+        "factor < 4 needs |dt| > 1 scatter reach"
+    half_off = (factor - 1) / 2.0  # sample point within the target block
+    per_cell = df.groupBy("cell", "cell_x", "cell_y").agg(
+        F.sum(F.col(value).cast("double")).alias("s"),
+        F.count(value).alias("n"))
+    per_cell = per_cell.withColumn("v", F.col("s") / F.col("n"))
+    dts = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    sc = (per_cell.withColumn("_d", F.explode(dts))
+          .withColumn("tx", F.floor(F.col("cell_x") / factor) + F.col("_d.dx"))
+          .withColumn("ty", F.floor(F.col("cell_y") / factor) + F.col("_d.dy"))
+          .withColumn("ox", F.col("cell_x") - F.col("tx") * factor - half_off)
+          .withColumn("oy", F.col("cell_y") - F.col("ty") * factor - half_off)
+          .where((F.abs(F.col("ox")) < 3) & (F.abs(F.col("oy")) < 3)))
+
+    def num(col):  # integer numerator of the normalized half-pel weight
+        a2 = F.abs(col) * 2  # 1, 3, 5
+        return (F.when(a2 < 2, F.lit(450.0))
+                .when(a2 < 4, F.lit(-100.0))
+                .otherwise(F.lit(18.0)))
+
+    contrib = sc.groupBy("tx", "ty").agg(
+        (F.sum(num(F.col("ox")) * num(F.col("oy")) * F.col("v"))
+         / F.lit(541696.0)).alias("sv"),
+        F.count(F.lit(1)).alias("ntap"))
+    tx = F.floor(F.col("cell_x") / factor)
+    ty = F.floor(F.col("cell_y") / factor)
+    targets = per_cell.select(tx.alias("tx"), ty.alias("ty")).distinct()
+    out = targets.join(contrib, ["tx", "ty"], "left")
+    return out.select(
+        (F.col("ty") * D.LON_CELL_STRIDE + F.col("tx")).alias("cell"),
+        F.when(F.col("ntap") == 36, F.col("sv")).alias("z_lanczos3"))
+
+
 def ring_entropy(df: DataFrame, category: str = "lang", ring: int = 1) -> DataFrame:
     """Shannon entropy (bits) of a categorical column over each occupied
     cell's k-ring (entropyfilt analogue, lib/raster_array_tools.py:2541-2750,

@@ -98,8 +98,12 @@ def q_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-interpolating imresize down-resample (factor 4) over the
     per-block mean z field (lib/raster_array_tools.py:766-979), BOTH
     interpolating kernels in one output: bilinear (4 taps, weights 1/4)
-    and bicubic (Keys a=-0.5, 16 taps); incomplete taps -> NULL."""
-    from ..operators.neighborhood import bicubic_downsample, bilinear_downsample
+    bicubic (Keys a=-0.5, 16 taps), and lanczos-3 (36 scattered taps,
+    the cv2.INTER_LANCZOS4 / PIL LANCZOS backend of interp='lanczos',
+    lib/raster_array_tools.py:852,863); incomplete taps -> NULL."""
+    from ..operators.neighborhood import (bicubic_downsample,
+                                          bilinear_downsample,
+                                          lanczos3_downsample)
 
     df = (P.geocoded_pages(spark, sf_dir)
           .withColumn("z", F.expr(D.z_expr(D.SPARK)))
@@ -108,9 +112,11 @@ def q_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("cell", F.expr(D.cell_id_from_xy())))
     lin = bilinear_downsample(df, "z", factor=4)
     cub = bicubic_downsample(df, "z", factor=4)
-    return (lin.join(cub, "cell")
+    lan = lanczos3_downsample(df, "z", factor=4)
+    return (lin.join(cub, "cell").join(lan, "cell")
             .select("cell", F.round("z_resized", 6).alias("z_resized"),
-                    F.round("z_bicubic", 6).alias("z_bicubic")))
+                    F.round("z_bicubic", 6).alias("z_bicubic"),
+                    F.round("z_lanczos3", 6).alias("z_lanczos3")))
 
 
 # composed water-mask thresholds (waterMask.m constants analogue)
@@ -470,7 +476,8 @@ ORACLES: dict[str, str] = {
         """SELECT t.ty * 131072 + t.tx AS cell,
                   round(CASE WHEN c.ntap = 4 THEN c.sv / 4.0 END, 6)
                     AS z_resized,
-                  round(CASE WHEN k.ntap = 16 THEN k.sv END, 6) AS z_bicubic
+                  round(CASE WHEN k.ntap = 16 THEN k.sv END, 6) AS z_bicubic,
+                  round(CASE WHEN l.ntap = 36 THEN l.sv END, 6) AS z_lanczos3
            FROM (SELECT DISTINCT CAST(floor(bx / 4) AS BIGINT) AS tx,
                         CAST(floor(by / 4) AS BIGINT) AS ty FROM p) t
            LEFT JOIN (
@@ -491,7 +498,33 @@ ORACLES: dict[str, str] = {
                                 ELSE -0.0625 END) * v) AS sv,
                     count(*) AS ntap
              FROM p GROUP BY 1, 2
-           ) k ON t.tx = k.tx AND t.ty = k.ty""",
+           ) k ON t.tx = k.tx AND t.ty = k.ty
+           LEFT JOIN (
+             -- Lanczos-3 half-pel taps: normalized weights are exact
+             -- rationals [450, -100, 18] / 736 at offsets 0.5/1.5/2.5;
+             -- integer numerators, ONE division by 736^2
+             SELECT CAST(floor(bx / 4) AS BIGINT) + d.dx AS tx,
+                    CAST(floor(by / 4) AS BIGINT) + d.dy AS ty,
+                    sum((CASE WHEN abs(bx - (floor(bx / 4) + d.dx) * 4 - 1.5)
+                                   < 1 THEN 450.0
+                              WHEN abs(bx - (floor(bx / 4) + d.dx) * 4 - 1.5)
+                                   < 2 THEN -100.0
+                              ELSE 18.0 END)
+                      * (CASE WHEN abs(by - (floor(by / 4) + d.dy) * 4 - 1.5)
+                                   < 1 THEN 450.0
+                              WHEN abs(by - (floor(by / 4) + d.dy) * 4 - 1.5)
+                                   < 2 THEN -100.0
+                              ELSE 18.0 END) * v) / 541696.0 AS sv,
+                    count(*) AS ntap
+             FROM p CROSS JOIN (
+               SELECT dxs.dx, dys.dy
+               FROM (VALUES (-1), (0), (1)) dxs(dx)
+               CROSS JOIN (VALUES (-1), (0), (1)) dys(dy)
+             ) d
+             WHERE abs(bx - (floor(bx / 4) + d.dx) * 4 - 1.5) < 3
+               AND abs(by - (floor(by / 4) + d.dy) * 4 - 1.5) < 3
+             GROUP BY 1, 2
+           ) l ON t.tx = l.tx AND t.ty = l.ty""",
         extra_ctes=f"zb AS (SELECT (cell_x >> 12) AS bx, (cell_y >> 12) AS by, "
         f"{D.z_expr(_DD)} AS z FROM cells), "
         "p AS (SELECT bx, by, sum(z) / count(*) AS v FROM zb GROUP BY 1, 2)"),

@@ -117,3 +117,44 @@ def test_bicubic_downsample_matches_numpy(spark):
     out = {r.cell: r.z_bicubic
            for r in bicubic_downsample(cdf, "z", factor=4).collect()}
     assert all(abs(v - 7.5) < 1e-12 for v in out.values())
+
+
+def test_lanczos3_downsample_matches_numpy(spark):
+    """Lanczos-3 half-pel taps: normalized weights are the exact
+    rationals [450, -100, 18] / 736 at offsets +-0.5/+-1.5/+-2.5; the
+    6x6 footprint crosses block edges, NULL unless all 36 taps exist."""
+    from setsm_postprocessing_python_spark.operators.neighborhood import (
+        lanczos3_downsample)
+
+    df, occ, vals = _grid_df(spark, seed=17, fill=0.92)
+    got = {r.cell: r.z_lanczos3
+           for r in lanczos3_downsample(df, "z", factor=4).collect()}
+    num = {0.5: 450.0, 1.5: -100.0, 2.5: 18.0}
+    targets = {(x // 4, y // 4) for y in range(H) for x in range(W)
+               if occ[y, x]}
+    assert set(got) == {ty * D.LON_CELL_STRIDE + tx for tx, ty in targets}
+    checked_non_null = 0
+    for tx, ty in targets:
+        # 6 taps per axis centered on the sample point 4*t + 1.5
+        xs = [4 * tx + p for p in range(-1, 5)]
+        ys = [4 * ty + p for p in range(-1, 5)]
+        cell = ty * D.LON_CELL_STRIDE + tx
+        if all(0 <= x < W and 0 <= y < H and occ[y, x]
+               for x in xs for y in ys):
+            want = float(sum(
+                num[abs(x - 4 * tx - 1.5)] * num[abs(y - 4 * ty - 1.5)]
+                * vals[y, x] for x in xs for y in ys)) / 541696.0
+            assert got[cell] == pytest.approx(want, rel=1e-9)
+            checked_non_null += 1
+        else:
+            assert got[cell] is None
+    assert checked_non_null >= 1  # fixture actually exercises the kernel
+    # constant field is reproduced exactly (kernel sums to 1: 736/736)
+    const = [(int(y * D.LON_CELL_STRIDE + x), int(x), int(y), 7.5)
+             for x in range(12) for y in range(12)]
+    cdf = spark.createDataFrame(
+        const, "cell long, cell_x long, cell_y long, z double")
+    out = {r.cell: r.z_lanczos3
+           for r in lanczos3_downsample(cdf, "z", factor=4).collect()}
+    inner = out[1 * D.LON_CELL_STRIDE + 1]
+    assert abs(inner - 7.5) < 1e-12
