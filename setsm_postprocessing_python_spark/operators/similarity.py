@@ -54,8 +54,34 @@ def brute_force_topk(df: DataFrame, k: int = 3,
 
 
 def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
-                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Near-duplicate pairs (a < b) with cosine >= threshold."""
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       method: str = "brute", dim: int | None = None,
+                       n_hint: int | None = None, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs (a < b) with cosine >= threshold.
+
+    method='brute': exact O(n^2) broadcast crossJoin — the bounded-n
+    oracle baseline (JVM zip_with expression, bit-matches the DuckDB
+    formulation). method='lsh': the scale path — candidate pairs from the
+    multi-table multiprobe LSH machinery (lsh_candidate_cosines, per-
+    bucket cogrouped re-rank), orientation-normalized to a < b and
+    thresholded. Approximate (recall-gated in tests on clustered
+    vectors); cosine values for pairs found are exact and identical to
+    the brute path up to float64 expression order (the LSH path computes
+    einsum on float64, the brute path the sequential-fold JVM expression
+    — round before hashing across the two). Requires dim for the
+    hyperplanes; pass n_hint (table stats) to skip the sizing count."""
+    if method == "lsh":
+        assert dim is not None, "method='lsh' needs the embedding dim"
+        cands = lsh_candidate_cosines(df, dim, id_col=id_col,
+                                      vec_col=vec_col, seed=seed,
+                                      n_hint=n_hint)
+        sym = cands.select(
+            F.least("vec_id", "nbr_id").alias("id_a"),
+            F.greatest("vec_id", "nbr_id").alias("id_b"),
+            "cosine").distinct()
+        return (sym.where(F.col("cosine") >= threshold)
+                   .select(F.col("id_a").cast("bigint"),
+                           F.col("id_b").cast("bigint"), "cosine"))
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     j = a.crossJoin(F.broadcast(b)).where(F.col("id_a") < F.col("id_b"))
@@ -227,6 +253,26 @@ def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
     stats / parquet footer row count — e.g. pyarrow metadata.num_rows, or
     the Iceberg snapshot summary at scale) to avoid the sizing count job;
     the count fallback prunes to the id column only."""
+    j = lsh_candidate_cosines(df, dim, n_tables, planes_per_table, id_col,
+                              vec_col, seed, n_hint, probe_bits, rerank)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (j.withColumn("sim_rank", F.row_number().over(w))
+             .where(F.col("sim_rank") <= k)
+             .select(F.col("vec_id").cast("bigint"), F.col("nbr_id").cast("bigint"),
+                     "cosine", "sim_rank"))
+
+
+def lsh_candidate_cosines(df: DataFrame, dim: int, n_tables: int = 8,
+                          planes_per_table: int | None = None,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          seed: int = 42, n_hint: int | None = None,
+                          probe_bits: int = 2,
+                          rerank: str = "bucket") -> DataFrame:
+    """The LSH candidate stream shared by lsh_topk (-> window top-k) and
+    embedding_near_dup(method='lsh') (-> symmetric threshold filter):
+    (vec_id, nbr_id, cosine) for every a-probe x b-home bucket collision,
+    deduplicated across tables, cosine exact (float64 gather + einsum).
+    Directed: vec_id's probe buckets against nbr_id's home buckets."""
     if planes_per_table is None:
         import math
 
@@ -321,8 +367,4 @@ def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
             return pd.Series(dots / (na * nb))
 
         j = j.withColumn("cosine", cos_udf(F.col("va"), F.col("vb")))
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
-    return (j.withColumn("sim_rank", F.row_number().over(w))
-             .where(F.col("sim_rank") <= k)
-             .select(F.col("vec_id").cast("bigint"), F.col("nbr_id").cast("bigint"),
-                     "cosine", "sim_rank"))
+    return j.select("vec_id", "nbr_id", "cosine")
