@@ -164,9 +164,12 @@ def hex_knn(df: DataFrame, k_neighbors: int = 3, ring: int = 1,
 # round 2's "planar lattice only" gap: cells now live on 20 gnomonic face
 # planes of the unit icosahedron like real H3 (Uber H3 docs; public
 # construction). Ids are NOT bit-compatible with H3's (different base-cell
-# numbering and in-face axes); pentagon special-casing at the 12 icosa
-# vertices and cross-face ring stitching are documented out of scope —
-# rings are face-local, exactly 6 neighbors for interior cells.
+# numbering and in-face axes). Cross-face ring stitching is GEOMETRIC
+# (h3_neighbors: re-quantize neighbor centers through the sphere), so
+# rings work at face edges and around the 12 icosa vertices, where a
+# corner cell sees 5 distinct neighbors (the pentagon analogue); interior
+# cells get exactly their 6 same-face axial neighbors. The aperture-7
+# PARENT hierarchy remains face-local (h3_parent_a7).
 # ---------------------------------------------------------------------------
 
 # mean H3 res-8 hex area is ~0.737 km^2 (published H3 resolution table);
@@ -279,6 +282,54 @@ def h3_parent_a7(cell: np.ndarray) -> np.ndarray:
     face = np.asarray(cell, np.int64) // FACE_STRIDE
     parent_ax = hex_parent_a7(np.asarray(cell, np.int64) % FACE_STRIDE)
     return face * FACE_STRIDE + parent_ax
+
+
+def h3_neighbors(cell: np.ndarray, size: float = H3_RES8_SIZE) -> np.ndarray:
+    """(n, 6) CROSS-FACE-stitched neighbor ids: each cell's 6 axial
+    neighbors, re-quantized THROUGH THE SPHERE. A neighbor whose center
+    falls across a face edge lands on the adjacent face's lattice (the
+    nearest hex there), so ring expansion works at face boundaries and
+    around the 12 icosa vertices — the round-3 'face-local only' gap.
+
+    How: neighbor center in this face's gnomonic plane -> lat/lon ->
+    h3_cell() (nearest-face + cube-round), i.e. stitching is geometric
+    re-projection, not id arithmetic. For interior cells this returns
+    exactly the 6 same-face axial neighbors (cube_round of exact lattice
+    centers). At edges the adjacent-face lattice is not aligned with this
+    face's (face-local lattices, unlike real H3's shared base-cell grid),
+    so cross-face adjacency is approximate: each stitched neighbor is the
+    geometrically nearest cross-face hex, the relation may be asymmetric,
+    and two of the 6 slots can collapse onto one cross-face cell near an
+    icosa vertex (the pentagon analogue: a vertex-corner cell sees only
+    5 distinct neighbors). Use np.unique per row if set semantics matter."""
+    cell = np.asarray(cell, np.int64)
+    face, q, r = h3_unpack(cell)
+    nbrs = np.empty((len(cell), 6), dtype=np.int64)
+    for i, (dq, dr) in enumerate(HEX_DIRECTIONS):
+        nq, nr = q + dq, r + dr
+        x = size * np.sqrt(3.0) * (nq + nr / 2.0)
+        y = size * 1.5 * nr
+        la, lo = face_xy_to_latlon(face, x, y)
+        nbrs[:, i] = h3_cell(la, lo, size)
+    return nbrs
+
+
+def h3_kring_expand(df: DataFrame, size: float = H3_RES8_SIZE,
+                    cell: str = "cell_h3") -> DataFrame:
+    """Explode each row to its stitched 1-ring (adds `nbr_h3`; the cell
+    itself plus its <=6 distinct sphere-stitched neighbors). Arrow-batched
+    pandas UDF (the re-projection is numpy trig, not id arithmetic)."""
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def ring_udf(cells: pd.Series) -> pd.Series:
+        c = cells.to_numpy()
+        nb = h3_neighbors(c, size)
+        full = np.concatenate([c[:, None], nb], axis=1)
+        return pd.Series([np.unique(row) for row in full])
+
+    return (df.withColumn("_ring", ring_udf(F.col(cell)))
+              .withColumn("nbr_h3", F.explode("_ring")).drop("_ring"))
 
 
 def with_h3_cell(df: DataFrame, size: float = H3_RES8_SIZE,

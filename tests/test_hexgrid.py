@@ -200,3 +200,95 @@ def test_icosa_nearest_face():
     # image of the face's Voronoi vertex (the icosa vertex direction):
     # tan(center-to-vertex angle ~37.38 deg) ~ 0.764
     assert np.sqrt(x**2 + y**2).max() < 0.7651
+
+
+def _geodesic_angle(cell_a, cell_b):
+    """Angle (radians) between two stitched cells' sphere centers."""
+    la1, lo1 = H.h3_cell_center(np.asarray(cell_a))
+    la2, lo2 = H.h3_cell_center(np.asarray(cell_b))
+    p1 = H._unit_vec(la1, lo1)
+    p2 = H._unit_vec(la2, lo2)
+    return np.arccos(np.clip(np.einsum("ij,ij->i", p1, p2), -1, 1))
+
+
+def test_h3_neighbors_interior_match_axial():
+    """Well inside a face the stitched neighbors are exactly the 6
+    same-face axial neighbors."""
+    lat = np.array([10.0, -35.0, 52.0])
+    lon = np.array([20.0, 140.0, -60.0])
+    cells = H.h3_cell(lat, lon)
+    nbrs = H.h3_neighbors(cells)
+    face, q, r = H.h3_unpack(cells)
+    for i in range(len(cells)):
+        want = {int(face[i] * H.FACE_STRIDE
+                    + H.pack_axial(np.array([q[i] + dq]),
+                                   np.array([r[i] + dr]))[0])
+                for dq, dr in H.HEX_DIRECTIONS}
+        assert set(int(x) for x in nbrs[i]) == want
+
+
+def test_h3_neighbors_cross_face_stitch():
+    """Cells on a face edge get neighbors on BOTH faces, and every
+    stitched neighbor is geometrically adjacent (center distance within
+    2.5x the hex pitch — gnomonic distortion + re-quantization bound)."""
+    # midpoint of two adjacent face centers lies on their shared edge
+    c = H._FACE_C
+    dots = c @ c.T
+    np.fill_diagonal(dots, -2)
+    i, j = np.unravel_index(np.argmax(dots), dots.shape)
+    mid = c[i] + c[j]
+    mid /= np.linalg.norm(mid)
+    lat = np.degrees(np.arcsin(mid[2]))
+    lon = np.degrees(np.arctan2(mid[1], mid[0]))
+    cell = H.h3_cell(np.array([lat]), np.array([lon]))
+    nbrs = np.unique(H.h3_neighbors(cell)[0])
+    faces = {int(f) for f in nbrs // H.FACE_STRIDE}
+    assert len(faces) >= 2, "edge cell's ring stayed face-local"
+    pitch = np.sqrt(3.0) * H.H3_RES8_SIZE
+    ang = _geodesic_angle(np.repeat(cell, len(nbrs)), nbrs)
+    assert ang.max() < 2.5 * pitch
+    assert len(nbrs) >= 5
+
+
+def test_h3_vertex_pentagon_analogue():
+    """Around an icosa vertex (the pentagon region in real H3) stitched
+    rings still exist: >=5 distinct neighbors, all geometrically close,
+    spanning >=2 faces."""
+    phi = (1.0 + np.sqrt(5.0)) / 2.0
+    v = np.array([0.0, 1.0, phi])
+    v /= np.linalg.norm(v)
+    lat = np.degrees(np.arcsin(v[2]))
+    lon = np.degrees(np.arctan2(v[1], v[0]))
+    # a handful of cells in a tiny disc around the vertex
+    rng = np.random.default_rng(7)
+    dlat = rng.uniform(-0.01, 0.01, 20)
+    dlon = rng.uniform(-0.01, 0.01, 20)
+    cells = np.unique(H.h3_cell(lat + dlat, lon + dlon))
+    nbrs = H.h3_neighbors(cells)
+    pitch = np.sqrt(3.0) * H.H3_RES8_SIZE
+    all_faces = set()
+    for i in range(len(cells)):
+        uniq = np.unique(nbrs[i])
+        uniq = uniq[uniq != cells[i]]  # vertex slots may collapse/self-map
+        assert len(uniq) >= 5
+        ang = _geodesic_angle(np.full(len(uniq), cells[i]), uniq)
+        assert ang.max() < 2.5 * pitch
+        all_faces |= {int(f) for f in uniq // H.FACE_STRIDE}
+    assert len(all_faces) >= 2
+
+
+def test_h3_kring_expand_spark(spark):
+    """Spark wrapper: one row per (cell, distinct ring member), ring
+    includes the cell itself."""
+    import pyspark.sql.functions as F
+
+    lat = [10.0, 52.0]
+    lon = [20.0, -60.0]
+    df = spark.createDataFrame(list(zip(lat, lon)), "lat double, lon double")
+    out = H.h3_kring_expand(H.with_h3_cell(df)).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell_h3, set()).add(r.nbr_h3)
+    for cell, ring in by_cell.items():
+        assert cell in ring
+        assert len(ring) == 7  # interior: self + 6 distinct neighbors
