@@ -100,6 +100,42 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((dim, n_planes)).astype(np.float64)
 
 
+def _cogroup_pair_cos(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Shared cogrouped re-rank kernel (LSH buckets and IVF lists): all
+    rows of one candidate group, columns (vec_id, v, is_b). Emits the
+    a-probe x b-home pair cosines (chunked gather + float64 einsum — the
+    same expression the pair-join path computes, bit-identical). A jumbo
+    group costs more chunks, never more than ~1M pair rows of memory."""
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    ib = np.flatnonzero(pdf["is_b"].to_numpy())
+    ia = np.arange(len(ids))
+    out_id, out_nbr, out_cos = [], [], []
+    chunk = max(1, (1 << 20) // max(len(ib), 1))
+    for lo in range(0, len(ia), chunk):
+        pa = np.repeat(ia[lo:lo + chunk], len(ib))
+        pb = np.tile(ib, min(chunk, len(ia) - lo))
+        keep = ids[pa] != ids[pb]
+        pa, pb = pa[keep], pb[keep]
+        if not len(pa):
+            continue
+        ma, mb = mat[pa], mat[pb]
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        out_id.append(ids[pa])
+        out_nbr.append(ids[pb])
+        out_cos.append(dots / (na * nb))
+    if not out_id:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "nbr_id": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    return pd.DataFrame({
+        "vec_id": np.concatenate(out_id).astype(np.int64),
+        "nbr_id": np.concatenate(out_nbr).astype(np.int64),
+        "cosine": np.concatenate(out_cos)})
+
+
 def with_lsh_buckets(df: DataFrame, dim: int, n_tables: int = 8,
                      planes_per_table: int = 4, vec_col: str = "embedding",
                      seed: int = 42, probe_bits: int = 0,
@@ -151,9 +187,15 @@ def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_lists: int = 16,
     within candidates.
 
     Scale shape: centroids are driver-side tiny and broadcast; list
-    assignment is one batched numpy matmul per Arrow batch; the candidate
-    join is an equi-join on list id. Probing >1 list recovers recall lost
-    at list boundaries (the IVF nprobe knob)."""
+    assignment is one batched numpy matmul per Arrow batch (one pass —
+    the home list is the first entry of the probe output); the exact-
+    cosine re-rank runs cogrouped per list on vectors the probe shuffle
+    already co-located (shared _cogroup_pair_cos kernel — each vector
+    moves once per probe entry, never once per candidate pair). Probing
+    >1 list recovers recall lost at list boundaries (the IVF nprobe
+    knob). Size n_lists ~ sqrt(n) at scale: per-list work is
+    (n*n_probe/n_lists) x (n/n_lists) pairs and list groups are the unit
+    of re-rank parallelism."""
     rng = np.random.default_rng(seed)
     # Deterministic bounded training sample: bare limit() is partition-
     # layout-dependent (repartitioning the input would move the centroids
@@ -185,29 +227,22 @@ def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_lists: int = 16,
         return pd.Series([row[:int(c)].astype(np.int64)
                           for row, c in zip(order, n.to_numpy())])
 
+    # ONE probe-UDF pass: the home list is the first (best) entry of the
+    # n_probe output, a position flag, not a second UDF invocation. The
+    # exact-cosine re-rank then runs cogrouped PER LIST, where the probe
+    # shuffle already co-located the candidate vectors — each vector moves
+    # once per probe entry, never once per candidate pair (the same shape
+    # as lsh_topk's bucket re-rank; shared _cogroup_pair_cos kernel).
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    assigned = base.withColumn(
-        "home_list", F.element_at(probe_lists(F.col("v"), F.lit(1)), 1))
-    probed = base.withColumn(
-        "probe_list", F.explode(probe_lists(F.col("v"), F.lit(n_probe))))
-    a = probed.select(F.col("vec_id"), F.col("v").alias("va"), "probe_list")
-    b = assigned.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"),
-                        F.col("home_list").alias("probe_list"))
-    j = (a.join(b, "probe_list").where(F.col("vec_id") != F.col("nbr_id"))
-          .select("vec_id", "nbr_id", "va", "vb").distinct())
-
-    from pyspark.sql.types import DoubleType
-
-    @F.pandas_udf(DoubleType())
-    def cos_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
-        ma = np.stack(va.to_numpy()).astype(np.float64)
-        mb = np.stack(vb.to_numpy()).astype(np.float64)
-        dots = np.einsum("ij,ij->i", ma, mb)
-        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
-        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
-        return pd.Series(dots / (na * nb))
-
-    j = j.withColumn("cosine", cos_udf(F.col("va"), F.col("vb")))
+    entries = base.select(
+        "vec_id", "v",
+        F.posexplode(probe_lists(F.col("v"), F.lit(n_probe)))
+        .alias("pos", "lst")).select(
+        "vec_id", "v", "lst", (F.col("pos") == 0).alias("is_b"))
+    j = (entries.groupBy("lst")
+         .applyInPandas(_cogroup_pair_cos,
+                        "vec_id bigint, nbr_id bigint, cosine double")
+         .distinct())
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
     return (j.withColumn("sim_rank", F.row_number().over(w))
              .where(F.col("sim_rank") <= k)
@@ -301,41 +336,8 @@ def lsh_candidate_cosines(df: DataFrame, dim: int, n_tables: int = 8,
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
             F.posexplode("probe_buckets").alias("pos", "bkt")).select(
             "vec_id", "v", "bkt", (F.col("pos") < n_tables).alias("is_b"))
-
-        def bucket_cos(pdf: pd.DataFrame) -> pd.DataFrame:
-            ids = pdf["vec_id"].to_numpy()
-            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            ib = np.flatnonzero(pdf["is_b"].to_numpy())
-            ia = np.arange(len(ids))
-            out_id, out_nbr, out_cos = [], [], []
-            # chunk the pair enumeration: a jumbo bucket costs more
-            # chunks, never more than ~chunk pair rows of memory
-            chunk = max(1, (1 << 20) // max(len(ib), 1))
-            for lo in range(0, len(ia), chunk):
-                pa = np.repeat(ia[lo:lo + chunk], len(ib))
-                pb = np.tile(ib, min(chunk, len(ia) - lo))
-                keep = ids[pa] != ids[pb]
-                pa, pb = pa[keep], pb[keep]
-                if not len(pa):
-                    continue
-                ma, mb = mat[pa], mat[pb]
-                dots = np.einsum("ij,ij->i", ma, mb)
-                na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
-                nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
-                out_id.append(ids[pa])
-                out_nbr.append(ids[pb])
-                out_cos.append(dots / (na * nb))
-            if not out_id:
-                return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
-                                     "nbr_id": pd.Series([], dtype="int64"),
-                                     "cosine": pd.Series([], dtype="float64")})
-            return pd.DataFrame({
-                "vec_id": np.concatenate(out_id).astype(np.int64),
-                "nbr_id": np.concatenate(out_nbr).astype(np.int64),
-                "cosine": np.concatenate(out_cos)})
-
         j = (entries.groupBy("bkt")
-             .applyInPandas(bucket_cos,
+             .applyInPandas(_cogroup_pair_cos,
                             "vec_id bigint, nbr_id bigint, cosine double")
              .distinct())
     else:
