@@ -1,6 +1,6 @@
 """Regenerate golden-parquet oracle fixtures for procedural operators.
 
-Usage: python scripts/make_goldens.py
+Usage: python scripts/make_goldens.py [q_name ...]   (no args = all)
 
 For each query in plans/queries_ext.py:GOLDEN_COLS, runs the registered
 Spark query at sf0.001 and sf0.01 and writes a single parquet per (query,
@@ -49,8 +49,11 @@ def main() -> None:
         sf_key = docs.agg({"n_chars": "sum"}).first()[0]
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         emb_key = emb.selectExpr(EMB_KEY_EXPR_SPARK).first()[0]
+        only = set(sys.argv[1:])
         for name, key in ([(n, sf_key) for n in GOLDEN_COLS]
                           + [(n, emb_key) for n in EMB_GOLDEN_COLS]):
+            if only and name not in only:
+                continue
             pdf = qs[name](spark, sf_dir).toPandas()
             pdf["sf_key"] = key
             path = OUT / f"{name}_sf{key}.parquet"

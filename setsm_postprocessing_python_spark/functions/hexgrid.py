@@ -332,6 +332,22 @@ def h3_kring_expand(df: DataFrame, size: float = H3_RES8_SIZE,
               .withColumn("nbr_h3", F.explode("_ring")).drop("_ring"))
 
 
+def with_h3_ring_sum(df: DataFrame, size: float = H3_RES8_SIZE,
+                     cell: str = "cell_h3",
+                     out: str = "h3_ring_sum") -> DataFrame:
+    """Deterministic scalar of the stitched 1-ring: self + sum of the
+    DISTINCT sphere-stitched neighbors (ids < 2^47, 7-term sum fits
+    bigint) — drives h3_neighbors through a hash-checkable column."""
+    @F.pandas_udf(LongType())
+    def ring_sum_udf(cells: pd.Series) -> pd.Series:
+        c = cells.to_numpy()
+        nb = h3_neighbors(c, size)
+        full = np.concatenate([c[:, None], nb], axis=1)
+        return pd.Series([int(np.unique(row).sum()) for row in full])
+
+    return df.withColumn(out, ring_sum_udf(F.col(cell)))
+
+
 def with_h3_cell(df: DataFrame, size: float = H3_RES8_SIZE,
                  lat: str = "lat", lon: str = "lon",
                  out: str = "cell_h3") -> DataFrame:

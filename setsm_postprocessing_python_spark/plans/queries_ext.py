@@ -201,17 +201,21 @@ def q_feather_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cell_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real S2 level-13 cell ids (pure-numpy Hilbert encode, Arrow UDF),
     planar hex axial ids, AND true icosahedral-gnomonic hex ids at H3
-    res-8 scale (20 sphere faces, face-local axial grid) in one output.
+    res-8 scale (20 sphere faces, gnomonic axial grid) in one output,
+    plus h3_ring_sum — the checksum of each cell's CROSS-FACE-stitched
+    1-ring (h3_neighbors re-quantizes neighbor centers through the
+    sphere), driver-hash-checking the stitching every round.
     Not SQL-expressible: the oracle is a committed golden parquet fixture,
     regenerated by scripts/make_goldens.py; cell-math invariants are
     independently tested in tests/test_s2.py and tests/test_hexgrid.py
     (icosa roundtrip, containment, ring/parent invariants)."""
-    from ..functions.hexgrid import with_h3_cell, with_hex_cell
+    from ..functions.hexgrid import (with_h3_cell, with_h3_ring_sum,
+                                     with_hex_cell)
     from ..functions.s2 import with_s2_cell
 
-    df = with_h3_cell(with_hex_cell(with_s2_cell(
-        P.geocoded_pages(spark, sf_dir))))
-    return df.select("url", "cell_s2", "cell_hex", "cell_h3")
+    df = with_h3_ring_sum(with_h3_cell(with_hex_cell(with_s2_cell(
+        P.geocoded_pages(spark, sf_dir)))))
+    return df.select("url", "cell_s2", "cell_hex", "cell_h3", "h3_ring_sum")
 
 
 def q_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,7 +703,7 @@ for _n, _c in EMB_GOLDEN_COLS.items():
 
 
 GOLDEN_COLS = {
-    "q_cell_indexes": "url, cell_s2, cell_hex, cell_h3",
+    "q_cell_indexes": "url, cell_s2, cell_hex, cell_h3, h3_ring_sum",
     "q_footprints": ("group_id, n_cells, n_vertices, hull_area, "
                      "convex_area, is_concave, wkt"),
     "q_feather_field": "pair, block, w",
