@@ -281,8 +281,12 @@ def q_adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hex_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN over the hex index: hex k-ring expansion + cell-local join.
     Runs on coarse 5-degree hexes so driver-scale output is non-vacuous
-    (same rationale as q_knn). Golden-fixture oracle; operator semantics
-    cross-checked vs brute force in tests/test_hexgrid.py."""
+    (same rationale as q_knn). INDEPENDENT SQL oracle (was a golden
+    freeze through round 3): the axial transform + cube rounding are
+    re-derived in pure DuckDB SQL — round_even(x, 0) reproduces
+    np.round's banker's rounding bit-for-bit — so the driver recomputes
+    the hex index from scratch each round; brute-force cross-check stays
+    in tests/test_hexgrid.py."""
     from ..functions.hexgrid import hex_knn
 
     out = hex_knn(P.geocoded_pages(spark, sf_dir), k_neighbors=3, ring=1,
@@ -408,6 +412,36 @@ ORACLES: dict[str, str] = {
     # exact-dup pre-collapse + LSH over representatives: the same band
     # algebra as q_minhash_lsh, but the shingle CTE reads the per-md5
     # representatives and pairs carry exact-group sizes
+    "q_hex_knn": _with_cells(
+        """SELECT url_a, url_b, knn_rank FROM (
+             SELECT a.url AS url_a, b.url AS url_b,
+                    row_number() OVER (PARTITION BY a.url ORDER BY
+                      (a.lat - b.lat) * (a.lat - b.lat)
+                      + (a.lon - b.lon) * (a.lon - b.lon) ASC,
+                      b.url ASC) AS knn_rank
+             FROM hexc a CROSS JOIN ringd d
+             JOIN hexc b ON a.cell + d.delta = b.cell
+             WHERE a.url <> b.url
+           ) WHERE knn_rank <= 3""",
+        extra_ctes="""ax0 AS (SELECT url, lat, lon,
+             (sqrt(3.0)/3.0 * lon - lat/3.0)/5.0 AS fq,
+             (2.0/3.0*lat)/5.0 AS fr FROM cells),
+           -- cube rounding (hexgrid._cube_round): round_even = np.round
+           -- (banker's); fix the axis with the largest rounding error
+           ax1 AS (SELECT url, lat, lon, fq, fr, -fq - fr AS fy,
+             round_even(fq, 0) AS rx, round_even(-fq - fr, 0) AS ry,
+             round_even(fr, 0) AS rz FROM ax0),
+           ax2 AS (SELECT *, abs(rx - fq) AS dx, abs(ry - fy) AS dy,
+             abs(rz - fr) AS dz FROM ax1),
+           ax3 AS (SELECT url, lat, lon,
+             CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END
+                  AS BIGINT) AS cq,
+             CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy
+                  THEN -rx - ry ELSE rz END AS BIGINT) AS cr FROM ax2),
+           hexc AS (SELECT url, lat, lon,
+             (cr + 1048576) * 2097152 + (cq + 1048576) AS cell FROM ax3),
+           ringd(delta) AS (VALUES (-1), (2097151), (-2097152), (0),
+                                   (2097152), (-2097151), (1))"""),
     "q_near_dup": _with_cells(
         f"""SELECT CAST(a.doc_id AS BIGINT) AS id_a,
                    CAST(b.doc_id AS BIGINT) AS id_b,
@@ -707,7 +741,6 @@ GOLDEN_COLS = {
     "q_footprints": ("group_id, n_cells, n_vertices, hull_area, "
                      "convex_area, is_concave, wkt"),
     "q_feather_field": "pair, block, w",
-    "q_hex_knn": "url_a, url_b, knn_rank",
     "q_merge_order": "group_id, url, order_idx, segment_num, is_redundant",
     "q_coregister": ("group_a, group_b, n_points, iters, dz, dx, dy, "
                      "rmse, status"),
