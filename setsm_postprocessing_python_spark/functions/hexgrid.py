@@ -328,8 +328,11 @@ def h3_kring_expand(df: DataFrame, size: float = H3_RES8_SIZE,
         full = np.concatenate([c[:, None], nb], axis=1)
         return pd.Series([np.unique(row) for row in full])
 
+    # explode_outer: plain explode's implicit size>0 filter re-runs the
+    # ring UDF; the ring always contains the cell itself, so the outer
+    # variant is row-identical and evaluates the UDF once
     return (df.withColumn("_ring", ring_udf(F.col(cell)))
-              .withColumn("nbr_h3", F.explode("_ring")).drop("_ring"))
+              .withColumn("nbr_h3", F.explode_outer("_ring")).drop("_ring"))
 
 
 def with_h3_ring_sum(df: DataFrame, size: float = H3_RES8_SIZE,

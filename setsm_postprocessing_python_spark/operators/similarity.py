@@ -236,7 +236,7 @@ def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_lists: int = 16,
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     entries = base.select(
         "vec_id", "v",
-        F.posexplode(probe_lists(F.col("v"), F.lit(n_probe)))
+        F.posexplode_outer(probe_lists(F.col("v"), F.lit(n_probe)))
         .alias("pos", "lst")).select(
         "vec_id", "v", "lst", (F.col("pos") == 0).alias("is_b"))
     j = (entries.groupBy("lst")
@@ -332,9 +332,15 @@ def lsh_candidate_cosines(df: DataFrame, dim: int, n_tables: int = 8,
         # its single-bit flips are pairwise distinct and tables carry
         # distinct key prefixes, so each vector lands in a bkt group at
         # most once — in-group pairs are unique by construction.
+        # posexplode_outer, not posexplode: the plain generator adds an
+        # implicit size>0 filter whose condition re-evaluates the
+        # hyperplane pandas UDF (measured: 2 ArrowEvalPython nodes, the
+        # matmul paid twice per row). The probe array is never empty by
+        # construction, so the outer variant is row-identical and runs
+        # the UDF once.
         entries = base.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
-            F.posexplode("probe_buckets").alias("pos", "bkt")).select(
+            F.posexplode_outer("probe_buckets").alias("pos", "bkt")).select(
             "vec_id", "v", "bkt", (F.col("pos") < n_tables).alias("is_b"))
         j = (entries.groupBy("bkt")
              .applyInPandas(_cogroup_pair_cos,
