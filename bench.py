@@ -45,7 +45,7 @@ def _sf_from_dir(d: str) -> float:
 # it keys the per-query history so only like-for-like runs are compared.
 AMP = int(os.environ.get("SPARK_GRAFT_AMP", "40"))
 EMB_AMP = int(os.environ.get("SPARK_GRAFT_EMB_AMP", "8"))
-BENCH_REV = os.environ.get("SPARK_GRAFT_BENCH_REV", "r3-amp40x8")
+BENCH_REV = os.environ.get("SPARK_GRAFT_BENCH_REV", "r3-amp40x8b")  # b: +ann_dedup stage
 
 
 def amplified_dir(spark, sf_dir: str, amp: int, emb_amp: int) -> str:
@@ -119,6 +119,13 @@ def headline_queries():
         "ann_lsh": QX.q_ann_lsh,            # LSH-bucketed ANN (scale path;
                                             # exact O(n^2) topk is the
                                             # correctness oracle, not a bench)
+        "ann_dedup": QX.q_ann_dedup,        # the production composition:
+                                            # exact-dup collapse -> LSH over
+                                            # distinct vectors (the 8x
+                                            # replicas make raw candidate
+                                            # volume 64x the information
+                                            # content; this is what a real
+                                            # pipeline runs)
         "fingerprint": QX.q_fingerprint,    # positional rolling hash
         "diff_strips": QR.q_diff_strips,    # pair/block dz + best window
         "feather_blend": QX.q_feather_blend,  # weighted overlap merge

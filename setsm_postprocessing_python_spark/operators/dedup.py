@@ -226,20 +226,27 @@ def near_dup_pipeline(df: DataFrame, id_col: str = "doc_id",
 def simhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash over tokens (with multiplicity): bit j of the
     signature is 1 iff sum over tokens of (+1 if tokenhash bit j else -1)
-    is > 0. Pure explode + integer aggregation."""
+    is > 0.
+
+    Single-pass wide aggregation — the same trick as the 16-way minhash
+    agg: ONE groupBy over the (id, token) rows with 32 sum expressions
+    (one per bit), assembled into the signature JVM-side. The previous
+    form exploded every token x 32 bits before aggregating (32x the
+    shuffle input and two shuffles); exposed when the merged benched
+    fingerprint stage hit 46 s on the 40x-amplified corpus vs ~2 s for
+    this form. Same integers either way (sum of +-1 per bit, then
+    threshold)."""
     toks = df.select(
         id_col, F.explode(F.expr(D.tokens_expr(D.SPARK))).alias("tok"))
     toks = toks.withColumn("h", F.expr(D.hex8_i64("tok", 1, D.SPARK)))
-    bits = toks.withColumn("j", F.explode(F.array(*[F.lit(j) for j in range(SIMHASH_BITS)])))
-    bits = bits.withColumn(
-        "contrib",
-        F.expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
-    agg = bits.groupBy(id_col, "j").agg(F.sum("contrib").alias("s"))
-    return (agg.withColumn("bitval",
-                           F.expr("CASE WHEN s > 0 THEN "
-                                  "shiftleft(cast(1 as bigint), j) ELSE 0 END"))
-               .groupBy(id_col)
-               .agg(F.sum("bitval").cast("bigint").alias("simhash")))
+    sums = toks.groupBy(id_col).agg(*[
+        F.sum(F.expr(f"CASE WHEN (shiftright(h, {j}) & 1) = 1 "
+                     f"THEN 1 ELSE -1 END")).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)])
+    sig = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN shiftleft(cast(1 as bigint), {j}) "
+        f"ELSE cast(0 as bigint) END" for j in range(SIMHASH_BITS))
+    return sums.select(id_col, F.expr(sig).cast("bigint").alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,

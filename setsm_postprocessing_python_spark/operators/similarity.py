@@ -91,6 +91,43 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
                      "cosine"))
 
 
+def ann_dedup_topk(df: DataFrame, dim: int, k: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed: int = 42, n_hint: int | None = None) -> DataFrame:
+    """The production ANN composition: EXACT-DUP PRE-COLLAPSE, then LSH
+    top-k over the distinct vectors only, group sizes re-attached — the
+    similarity analogue of dedup.near_dup_pipeline (reference analogue:
+    redundancy gates skip known-covered work before expensive steps,
+    lib/scenes2strips.py:271-274).
+
+    Why: on duplicate-heavy corpora (mirrors/reposts; the 8x-replicated
+    bench input) every LSH bucket holds all copies of each duplicated
+    vector, so raw candidate volume grows with dup_group_size^2 while the
+    extra pairs carry zero information (cosine 1.0 against copies).
+    Collapsing first makes candidate volume a function of DISTINCT
+    content. Output is at representative grain (vec_id = min id of each
+    identical-vector group) with size_a/size_b attached — the searchable
+    index entry plus its multiplicity, which is what a dedup-aware
+    retrieval pipeline stores. n_hint may be the RAW row count (parquet
+    footer); it upper-bounds the distinct count, over-sizing the plane
+    count by ~log2(n_raw / n_distinct) bits — harmless (smaller buckets,
+    strictly fewer candidates) and avoids a pre-count job."""
+    groups = (df.groupBy(vec_col)
+                .agg(F.min(F.col(id_col).cast("bigint")).alias("vec_id"),
+                     F.count(F.lit(1)).alias("group_size")))
+    reps = groups.select("vec_id", vec_col)
+    topk = lsh_topk(reps, dim, k=k, id_col="vec_id", vec_col=vec_col,
+                    seed=seed, n_hint=n_hint)
+    sizes = groups.select("vec_id", "group_size")
+    return (topk
+            .join(sizes.withColumnRenamed("group_size", "size_a"), "vec_id")
+            .join(sizes.select(F.col("vec_id").alias("nbr_id"),
+                               F.col("group_size").alias("size_b")),
+                  "nbr_id")
+            .select("vec_id", "nbr_id", "cosine", "sim_rank",
+                    "size_a", "size_b"))
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path)
 # ---------------------------------------------------------------------------

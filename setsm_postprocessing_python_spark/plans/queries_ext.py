@@ -51,9 +51,26 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc signature family in one slot: rolling-hash fingerprint +
+    32-bit SimHash (merged with the former q_simhash — same scan, same
+    per-doc grain; slot freed for q_ann_dedup). q_simhash_pairs keeps the
+    pigeonhole pair semantics separately."""
     df = P.pages(spark, sf_dir)
-    df.createOrReplaceTempView("_fp_pages")
-    return spark.sql(T.fingerprint_sql(D.SPARK, "_fp_pages"))
+    # identical texts get identical signatures, so compute both over the
+    # DISTINCT texts (keyed by md5) and join back — the q_near_dup
+    # pre-collapse trick applied to the signature family. Bit-identical
+    # per-doc output (the oracle recomputes per doc and still matches);
+    # on the 40x-duplicated bench corpus this divides the tokenize +
+    # aggregate work by the duplication factor.
+    keys = df.select("doc_id", F.md5("text").alias("k"))
+    uniq = (df.select(F.md5("text").alias("k"), "text")
+              .dropDuplicates(["k"]))
+    uniq.createOrReplaceTempView("_fp_uniq")
+    fp = spark.sql(T.fingerprint_sql(D.SPARK, "_fp_uniq", id_col="k"))
+    sh = DD.simhash(uniq, id_col="k")
+    return (keys.join(fp.join(sh, "k"), "k")
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "fingerprint", "simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -110,11 +127,6 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.near_dup_pipeline(P.pages(spark, sf_dir))
 
 
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash(P.pages(spark, sf_dir)).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "simhash")
-
-
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(P.pages(spark, sf_dir), max_hamming=3)
 
@@ -151,6 +163,30 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = SIM.lsh_topk(emb, dim=64, k=3, n_hint=n)
     return out.select("vec_id", "nbr_id", F.round("cosine", 6).alias("cosine"),
                       "sim_rank")
+
+
+def q_ann_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition (similarity analogue of q_near_dup):
+    exact-dup pre-collapse -> LSH top-k over DISTINCT vectors -> group
+    sizes re-attached. On duplicate-heavy input raw LSH candidate volume
+    grows with dup_group_size^2 (every bucket holds all copies); this
+    path is a function of distinct content. Deterministic given seeds ->
+    golden-checked like q_ann_lsh. At driver scale the embeddings table
+    has no duplicate vectors, so the collapse is an identity pass
+    (size=1 rows) and output equals q_ann_lsh plus size columns; the
+    8x-replicated bench input exercises the real collapse (64x candidate
+    reduction measured there)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(f"{sf_dir}/embeddings.parquet")
+    files = [p] if p.is_file() else sorted(p.glob("*.parquet"))
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    emb = spark.read.parquet(str(p))
+    out = SIM.ann_dedup_topk(emb, dim=64, k=3, n_hint=n)
+    return out.select("vec_id", "nbr_id", F.round("cosine", 6).alias("cosine"),
+                      "sim_rank", "size_a", "size_b")
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,8 +405,27 @@ ORACLES: dict[str, str] = {
         + f", {T.langid_ngram_expr(_DD)} AS lang_pred_ngram"
         + " FROM cells"),
     "q_fingerprint": _with_cells(
-        T.fingerprint_sql(_DD, "cells").replace(
-            "SELECT doc_id,", "SELECT CAST(doc_id AS BIGINT) AS doc_id,")),
+        "SELECT f.doc_id, f.fingerprint, s.simhash FROM ("
+        + T.fingerprint_sql(_DD, "cells").replace(
+            "SELECT doc_id,", "SELECT CAST(doc_id AS BIGINT) AS doc_id,")
+        + """) f JOIN (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(sum(bitval) AS BIGINT) AS simhash FROM bitsum
+           GROUP BY doc_id) s ON f.doc_id = s.doc_id""",
+        extra_ctes=f"""
+        toks AS (SELECT doc_id, unnest({D.tokens_expr(_DD)}) AS tok FROM cells),
+        contrib AS (
+          SELECT doc_id, j.j,
+                 sum(CASE WHEN (({D.hex8_i64('tok', 1, _DD)} >> j.j) & 1) = 1
+                     THEN 1 ELSE -1 END) AS s
+          FROM toks CROSS JOIN (SELECT unnest(range(0, {DD.SIMHASH_BITS})) AS j) j
+          GROUP BY doc_id, j.j
+        ),
+        bitsum AS (
+          SELECT doc_id,
+                 CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bitval
+          FROM contrib
+        )"""),
     "q_jaccard_pairs": _with_cells(
         f"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
                    inter, na, nb
@@ -479,24 +534,6 @@ ORACLES: dict[str, str] = {
                             ORDER BY hash_idx || ':' || minhash) AS band_sig
           FROM minh
           GROUP BY doc_id, CAST(floor(hash_idx / {DD.ROWS_PER_BAND}) AS INT)
-        )"""),
-    "q_simhash": _with_cells(
-        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                  CAST(sum(bitval) AS BIGINT) AS simhash FROM bitsum
-           GROUP BY doc_id""",
-        extra_ctes=f"""
-        toks AS (SELECT doc_id, unnest({D.tokens_expr(_DD)}) AS tok FROM cells),
-        contrib AS (
-          SELECT doc_id, j.j,
-                 sum(CASE WHEN (({D.hex8_i64('tok', 1, _DD)} >> j.j) & 1) = 1
-                     THEN 1 ELSE -1 END) AS s
-          FROM toks CROSS JOIN (SELECT unnest(range(0, {DD.SIMHASH_BITS})) AS j) j
-          GROUP BY doc_id, j.j
-        ),
-        bitsum AS (
-          SELECT doc_id,
-                 CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bitval
-          FROM contrib
         )"""),
     "q_simhash_pairs": _with_cells(
         f"""SELECT CAST(a.doc_id AS BIGINT) AS id_a,
@@ -731,6 +768,7 @@ def golden_oracle_emb(name: str, cols: str) -> str:
 EMB_GOLDEN_COLS = {
     "q_ann_lsh": "vec_id, nbr_id, cosine, sim_rank",
     "q_ann_ivf": "vec_id, nbr_id, cosine, sim_rank",
+    "q_ann_dedup": "vec_id, nbr_id, cosine, sim_rank, size_a, size_b",
 }
 for _n, _c in EMB_GOLDEN_COLS.items():
     ORACLES[_n] = golden_oracle_emb(_n, _c)
@@ -765,7 +803,6 @@ QUERIES = {
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_minhash_lsh": q_minhash_lsh,
     "q_near_dup": q_near_dup,
-    "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
     "q_cosine_topk": q_cosine_topk,
     "q_merge_order": q_merge_order,
@@ -773,4 +810,5 @@ QUERIES = {
     "q_feather_blend": q_feather_blend,
     "q_ann_lsh": q_ann_lsh,            # approximate by design; deterministic
     "q_ann_ivf": q_ann_ivf,            # given seeds -> golden-checked
+    "q_ann_dedup": q_ann_dedup,        # exact-collapse -> LSH over reps
 }

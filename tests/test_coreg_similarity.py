@@ -202,3 +202,30 @@ def test_embedding_near_dup_lsh_vs_brute(spark):
     assert approx <= exact, "LSH path emitted a pair brute force rejects"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"near-dup LSH recall too low: {recall:.2f}"
+
+
+def test_ann_dedup_collapse_semantics(spark):
+    """On a duplicated input, ann_dedup_topk must equal lsh_topk over the
+    distinct vectors (representative = min id per identical-vector group)
+    with the correct group sizes attached."""
+    import pyspark.sql.functions as F
+
+    from setsm_postprocessing_python_spark.operators.similarity import (
+        ann_dedup_topk, lsh_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    # 3x replication: copies get ids shifted by n and 2n, so min-id
+    # representatives are exactly the original ids
+    reps = spark.range(3).select(F.col("id").alias("rep"))
+    dup = (emb.crossJoin(reps)
+              .select((F.col("vec_id") + F.col("rep") * n).alias("vec_id"),
+                      "embedding"))
+    got = {(r.vec_id, r.nbr_id, r.sim_rank, r.size_a, r.size_b)
+           for r in ann_dedup_topk(dup, dim=64, k=3, n_hint=3 * n).collect()}
+    # n_hint on the raw path must match the collapsed query's sizing to
+    # compare like-for-like plane counts
+    want = {(r.vec_id, r.nbr_id, r.sim_rank, 3, 3)
+            for r in lsh_topk(emb, dim=64, k=3, n_hint=3 * n).collect()}
+    assert got == want
+    assert len(got) > 0
