@@ -173,6 +173,20 @@ def _cogroup_pair_cos(pdf: pd.DataFrame) -> pd.DataFrame:
         "cosine": np.concatenate(out_cos)})
 
 
+def _super_group_pair_cos(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Super-group wrapper over _cogroup_pair_cos: one pandas invocation
+    handles MANY hash-coalesced buckets; the per-bucket pair semantics
+    are preserved by an in-UDF groupby on the real bucket key."""
+    outs = [_cogroup_pair_cos(sub)
+            for _, sub in pdf.groupby("bkt", sort=False)]
+    outs = [o for o in outs if len(o)]
+    if not outs:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "nbr_id": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    return pd.concat(outs, ignore_index=True)
+
+
 def with_lsh_buckets(df: DataFrame, dim: int, n_tables: int = 8,
                      planes_per_table: int = 4, vec_col: str = "embedding",
                      seed: int = 42, probe_bits: int = 0,
@@ -345,10 +359,12 @@ def lsh_candidate_cosines(df: DataFrame, dim: int, n_tables: int = 8,
     (vec_id, nbr_id, cosine) for every a-probe x b-home bucket collision,
     deduplicated across tables, cosine exact (float64 gather + einsum).
     Directed: vec_id's probe buckets against nbr_id's home buckets."""
+    n = n_hint
     if planes_per_table is None:
         import math
 
-        n = n_hint if n_hint is not None else df.select(id_col).count()
+        if n is None:
+            n = df.select(id_col).count()
         # multiprobe visits ~(1 + probe_bits) buckets per table, so size
         # buckets smaller by the same factor — candidate volume stays
         # ~64*T per query while multiprobe recovers the recall
@@ -379,8 +395,24 @@ def lsh_candidate_cosines(df: DataFrame, dim: int, n_tables: int = 8,
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
             F.posexplode_outer("probe_buckets").alias("pos", "bkt")).select(
             "vec_id", "v", "bkt", (F.col("pos") < n_tables).alias("is_b"))
-        j = (entries.groupBy("bkt")
-             .applyInPandas(_cogroup_pair_cos,
+        # SUPER-GROUPS: grouping directly on bkt makes one pandas call
+        # per bucket — with ~21-entry buckets that is n*T/21 groups, and
+        # pandas per-group overhead (~0.1-0.3 ms) dominates at scale
+        # (millions of groups for 10^8+ vectors). Instead hash buckets
+        # into n_super coalesced groups sized for ~2^16 entries each
+        # (~17 MB of vectors per group task) and run the per-bucket pair
+        # kernel via an in-UDF groupby — same pairs, same cosines, ~32x
+        # fewer pandas invocations here. Derived from n (known: sizing
+        # already needed it), so no extra job.
+        if n is not None:
+            n_entries = n * (1 + min(probe_bits, planes_per_table)) * n_tables
+            n_super = int(max(64, min(1 << 20, n_entries >> 16)))
+        else:  # explicit planes, no n_hint: skip the sizing job entirely
+            n_super = 4096
+        j = (entries.withColumn(
+                "sg", F.pmod(F.xxhash64("bkt"), F.lit(n_super)))
+             .groupBy("sg")
+             .applyInPandas(_super_group_pair_cos,
                             "vec_id bigint, nbr_id bigint, cosine double")
              .distinct())
     else:
