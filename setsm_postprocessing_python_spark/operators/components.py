@@ -201,17 +201,24 @@ def clean_mask(cells: DataFrame, remove_pix: int, fill_pix: int,
 
 
 def fill_holes_grouped(df: DataFrame, group_col: str = "group_id",
-                       fill_pix: int | None = None) -> DataFrame:
+                       fill_pix: int | None = None,
+                       bbox_budget: int = FILL_BBOX_BUDGET) -> DataFrame:
     """Per-group fill: each group's bbox is bounded by ITS extent (the
-    reference processes per-scene rasters the same way), so no global
-    budget applies and groups fan out as tasks. Runs the numpy border
-    flood inside applyInPandas — per-group cell sets are bounded after the
-    distinct, the same shape as operators/footprint.py.
+    reference processes per-scene rasters the same way) and groups fan out
+    as tasks. Runs a run-length two-pass union-find inside applyInPandas —
+    O(#row-runs) Python work, all per-pixel operations vectorized.
+
+    A group whose bbox exceeds bbox_budget (hash-scattered members — far-
+    apart cells spanning a huge dense grid, the q_footprints global-scatter
+    pathology) SKIPS the fill and returns its cells unfilled with
+    fill_skipped=true, instead of allocating the dense grid and hanging
+    the executor; sibling fill_holes/fill_small_voids raise for the same
+    condition because they have no per-group fallback grain.
 
     fill_pix=None: uncapped interior fill (binary_fill_holes semantics);
     fill_pix=k: reference clean_mask fill pass (fill voids < k cells,
     border-touching included, within the group's unpadded bbox).
-    Output: (group, cell, was_hole)."""
+    Output: (group, cell, was_hole, fill_skipped)."""
     import numpy as np
     import pandas as pd
 
@@ -221,14 +228,24 @@ def fill_holes_grouped(df: DataFrame, group_col: str = "group_id",
         ys = pdf["cell_y"].to_numpy(np.int64)
         pad = 0 if fill_pix is not None else 1
         x0, y0 = xs.min() - pad, ys.min() - pad
-        w = xs.max() + pad - x0 + 1
-        h = ys.max() + pad - y0 + 1
+        w = int(xs.max() + pad - x0 + 1)
+        h = int(ys.max() + pad - y0 + 1)
+        occ_cells = (ys * D.LON_CELL_STRIDE + xs)
+        if h * w > bbox_budget:
+            return pd.DataFrame({
+                group_col: grp, "cell": occ_cells,
+                "was_hole": False, "fill_skipped": True})
         occ = np.zeros((h, w), dtype=bool)
         occ[ys - y0, xs - x0] = True
-        # label the complement with a two-pass union-find over 8-adjacency
         comp = ~occ
-        lab = -np.ones((h, w), dtype=np.int64)
+        # Two-pass union-find over row RUNS of the complement (8-adjacency:
+        # a run [s,e) connects to a previous-row run [ps,pe) iff ps <= e and
+        # pe >= s — half-open ends make the diagonal reach exactly 1).
+        # Work is O(#runs), not O(pixels).
         parent: list[int] = []
+        run_len: list[int] = []
+        run_border: list[bool] = []
+        runs_by_row: list[list[tuple[int, int, int]]] = []
 
         def find(i: int) -> int:
             while parent[i] != i:
@@ -236,51 +253,56 @@ def fill_holes_grouped(df: DataFrame, group_col: str = "group_id",
                 i = parent[i]
             return i
 
+        prev: list[tuple[int, int, int]] = []
+        comp8 = comp.astype(np.int8)
         for yy in range(h):
-            for xx in range(w):
-                if not comp[yy, xx]:
-                    continue
-                nbrs = []
-                for dy, dx in ((-1, -1), (-1, 0), (-1, 1), (0, -1)):
-                    py, px = yy + dy, xx + dx
-                    if 0 <= py < h and 0 <= px < w and comp[py, px]:
-                        nbrs.append(find(int(lab[py, px])))
-                if not nbrs:
-                    lab[yy, xx] = len(parent)
-                    parent.append(len(parent))
-                else:
-                    root = min(nbrs)
-                    lab[yy, xx] = root
-                    for r in nbrs:
-                        parent[r] = root
+            row = comp8[yy]
+            cur: list[tuple[int, int, int]] = []
+            if row.any():
+                d = np.diff(np.concatenate(([0], row, [0])))
+                starts = np.flatnonzero(d == 1)
+                ends = np.flatnonzero(d == -1)
+                for s, e in zip(starts.tolist(), ends.tolist()):
+                    li = len(parent)
+                    parent.append(li)
+                    run_len.append(e - s)
+                    run_border.append(yy in (0, h - 1) or s == 0 or e == w)
+                    for ps, pe, pl in prev:
+                        if ps <= e and pe >= s:
+                            ra, rb = find(pl), find(li)
+                            if ra != rb:
+                                if rb < ra:
+                                    ra, rb = rb, ra
+                                parent[rb] = ra
+                    cur.append((s, e, li))
+            runs_by_row.append(cur)
+            prev = cur
         sizes: dict[int, int] = {}
         border: set[int] = set()
-        for yy in range(h):
-            for xx in range(w):
-                if not comp[yy, xx]:
-                    continue
-                r = find(int(lab[yy, xx]))
-                sizes[r] = sizes.get(r, 0) + 1
-                if yy in (0, h - 1) or xx in (0, w - 1):
-                    border.add(r)
-        rows = [{group_col: grp,
-                 "cell": int((yy + y0) * D.LON_CELL_STRIDE + (xx + x0)),
-                 "was_hole": False}
-                for yy, xx in zip(*np.nonzero(occ))]
-        for yy in range(h):
-            for xx in range(w):
-                if not comp[yy, xx]:
-                    continue
-                r = find(int(lab[yy, xx]))
+        for li in range(len(parent)):
+            r = find(li)
+            sizes[r] = sizes.get(r, 0) + run_len[li]
+            if run_border[li]:
+                border.add(r)
+        hole = np.zeros((h, w), dtype=bool)
+        for yy, runs in enumerate(runs_by_row):
+            for s, e, li in runs:
+                r = find(li)
                 filled = (sizes[r] < fill_pix if fill_pix is not None
                           else r not in border)
                 if filled:
-                    rows.append({group_col: grp,
-                                 "cell": int((yy + y0) * D.LON_CELL_STRIDE
-                                             + (xx + x0)),
-                                 "was_hole": True})
-        return pd.DataFrame(rows, columns=[group_col, "cell", "was_hole"])
+                    hole[yy, s:e] = True
+        hy, hx = np.nonzero(hole)
+        hole_cells = (hy + y0) * D.LON_CELL_STRIDE + (hx + x0)
+        return pd.DataFrame({
+            group_col: np.concatenate([np.full(len(occ_cells), grp, dtype=object),
+                                       np.full(len(hole_cells), grp, dtype=object)]),
+            "cell": np.concatenate([occ_cells, hole_cells]),
+            "was_hole": np.concatenate([np.zeros(len(occ_cells), dtype=bool),
+                                        np.ones(len(hole_cells), dtype=bool)]),
+            "fill_skipped": False})
 
     cells = df.select(group_col, "cell", "cell_x", "cell_y").distinct()
     return cells.groupBy(group_col).applyInPandas(
-        _fill, f"{group_col} string, cell long, was_hole boolean")
+        _fill,
+        f"{group_col} string, cell long, was_hole boolean, fill_skipped boolean")

@@ -85,7 +85,20 @@ def boundary_rings(cells: set[tuple[int, int]]) -> list[list[tuple[int, int]]]:
     """Directed boundary rings of the union of unit cell squares, interior
     on the LEFT: outer rings come out CCW (positive signed area), hole
     rings CW. At a checkerboard corner the walk takes the sharpest LEFT
-    turn, which keeps each 4-connected region on its own ring."""
+    turn, which keeps each 4-connected region on its own ring.
+
+    Determinism: the successor of every directed edge is precomputed from
+    its incoming DIRECTION alone (at a 4-degree pinch vertex the two
+    incoming directions are opposite, so left-turn pairing is a bijection);
+    rings are the orbits of that permutation, so the decomposition is
+    identical no matter which edge a walk starts from. Ring order and
+    starting vertex are canonicalized by sorting.
+
+    NB: a region pinched at a checkerboard corner (both diagonal cells in
+    one 4-connected region) yields a ring that visits the pinch vertex
+    twice — a self-touching, non-simple (OGC-invalid) but area-exact
+    POLYGON. Downstream treats wkt as a coverage outline, not a strict
+    OGC geometry."""
     edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
 
     def add(s, e):
@@ -100,27 +113,35 @@ def boundary_rings(cells: set[tuple[int, int]]) -> list[list[tuple[int, int]]]:
             add((x + 1, y + 1), (x, y + 1))
         if (x - 1, y) not in cells:
             add((x, y + 1), (x, y))
-    unused = {(s, e) for s, es in edges.items() for e in es}
-    rings = []
-    while unused:
-        start, cur = next(iter(unused))
-        unused.discard((start, cur))
-        ring = [start, cur]
-        while cur != start:
-            cands = [t for t in edges.get(cur, ()) if (cur, t) in unused]
+    # successor per directed edge: pure function of the incoming direction
+    succ: dict[tuple[tuple[int, int], tuple[int, int]], tuple[int, int]] = {}
+    for s, outs in edges.items():
+        for e in outs:
+            cands = edges.get(e, ())
             if not cands:
                 raise AssertionError("open boundary ring — impossible for "
                                      "a finite cell set")
             if len(cands) == 1:
                 nxt = cands[0]
             else:
-                dx, dy = cur[0] - ring[-2][0], cur[1] - ring[-2][1]
+                dx, dy = e[0] - s[0], e[1] - s[1]
                 nxt = max(cands,
-                          key=lambda t: dx * (t[1] - cur[1]) - dy * (t[0] - cur[0]))
-            unused.discard((cur, nxt))
-            ring.append(nxt)
-            cur = nxt
-        rings.append(ring[:-1])  # drop the closing duplicate
+                          key=lambda t: dx * (t[1] - e[1]) - dy * (t[0] - e[0]))
+            succ[(s, e)] = nxt
+    unused = set(succ)
+    rings = []
+    for start_edge in sorted(succ):
+        if start_edge not in unused:
+            continue
+        ring = []
+        edge = start_edge
+        while True:  # orbit of the successor permutation; one vertex per edge
+            ring.append(edge[0])
+            unused.discard(edge)
+            edge = (edge[1], succ[edge])
+            if edge == start_edge:
+                break
+        rings.append(ring)
     return rings
 
 

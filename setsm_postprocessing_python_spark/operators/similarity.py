@@ -253,9 +253,19 @@ def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_lists: int = 16,
     # and silently change results). A seeded hash filter + id-ordered
     # limit is reproducible under any physical layout; the orderBy is a
     # TakeOrdered over the hash-filtered subset, not a full sort.
-    sample_rows = (df.select(F.col(id_col).alias("_sid"), F.col(vec_col))
+    ids_vecs = df.select(F.col(id_col).alias("_sid"), F.col(vec_col))
+    sample_rows = (ids_vecs
                    .where(F.pmod(F.xxhash64(F.col("_sid"), F.lit(seed)), F.lit(4)) == 0)
                    .orderBy("_sid").limit(10_000).collect())
+    if len(sample_rows) < n_lists:
+        # tiny-table fallback: the 1/4 hash filter can undershoot n_lists
+        # on inputs with < ~4*n_lists rows; the unfiltered id-ordered
+        # sample is equally deterministic and still bounded
+        sample_rows = ids_vecs.orderBy("_sid").limit(10_000).collect()
+    if len(sample_rows) < n_lists:
+        raise ValueError(
+            f"ivf_topk needs >= n_lists={n_lists} vectors to train the "
+            f"quantizer, got {len(sample_rows)}")
     sample = np.stack([r[1] for r in sample_rows]).astype(np.float64)
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     cents = sample[rng.choice(len(sample), n_lists, replace=False)]

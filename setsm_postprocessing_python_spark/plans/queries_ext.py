@@ -280,14 +280,21 @@ def q_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     .fin-style resume). Returns the FINAL stage read back from its
     partitioned sink, so the driver hash-checks the whole write/read
     path; the oracle recomputes the rollup straight off the pages CTE.
-    A fresh temp workdir per call keeps repeated driver runs hermetic
-    (resume-after-kill semantics are pinned by tests/test_manifest_resume
-    and test_pipeline)."""
+    A fixed per-(session, sf_dir) workdir cleared on entry keeps repeated
+    driver/bench rounds hermetic WITHOUT leaking checkpoint trees into
+    /tmp (resume-after-kill semantics are pinned by
+    tests/test_manifest_resume and test_pipeline); the clear happens on
+    the NEXT invocation, after the driver has consumed this one's
+    result."""
+    import hashlib
+    import shutil
     import tempfile
 
     from .pipeline import run_pipeline
 
-    workdir = tempfile.mkdtemp(prefix="spark_graft_pipe_")
+    tag = hashlib.md5(f"{id(spark)}:{sf_dir}".encode()).hexdigest()[:12]
+    workdir = f"{tempfile.gettempdir()}/spark_graft_pipe_{tag}"
+    shutil.rmtree(workdir, ignore_errors=True)
     run_pipeline(spark, sf_dir, workdir)
     out = spark.read.parquet(f"{workdir}/out/tile_rollup")
     return out.select(F.col("unit").alias("tile_id"),

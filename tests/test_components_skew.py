@@ -252,3 +252,24 @@ def test_fill_holes_grouped_matches_global(spark):
                    for r in fill_small_voids(sub, fill_pix=2).collect()}
     assert capped == want_c
     assert ("g1", 20 + 20 * D.LON_CELL_STRIDE, True) in capped  # 1 < fill_pix
+
+
+def test_fill_holes_grouped_bbox_budget_skips(spark):
+    """A group with far-apart cells (huge bbox) skips the fill instead of
+    allocating the dense grid; bounded groups in the same frame still
+    fill."""
+    from setsm_postprocessing_python_spark.operators.components import (
+        fill_holes_grouped)
+
+    ring = [("ok", 20 + dx, 20 + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)]
+    scattered = [("huge", 0, 0), ("huge", 100_000, 100_000)]
+    df = spark.createDataFrame(
+        [(g, y * D.LON_CELL_STRIDE + x, x, y) for g, x, y in ring + scattered],
+        "group_id string, cell long, cell_x long, cell_y long")
+    out = fill_holes_grouped(df, bbox_budget=1 << 20).collect()
+    huge = [r for r in out if r.group_id == "huge"]
+    ok = [r for r in out if r.group_id == "ok"]
+    assert len(huge) == 2 and all(r.fill_skipped and not r.was_hole
+                                  for r in huge)
+    assert any(r.was_hole for r in ok) and not any(r.fill_skipped for r in ok)

@@ -130,3 +130,25 @@ def test_decimate_vertex_budget_and_collinear():
     sring = np.array(boundary_rings(stairs)[0], dtype=np.int64)
     dec2 = decimate_ring(sring, max_vertices=16)
     assert len(dec2) <= 16
+
+
+def test_pinched_region_deterministic_single_ring():
+    """A region pinched at a checkerboard corner (both diagonal cells in
+    one 4-connected region) traces ONE area-exact ring that visits the
+    pinch vertex exactly twice, with the same orbit decomposition no
+    matter how the cell set was built (successor precomputed per directed
+    edge — walk-start independent)."""
+    from collections import Counter
+
+    from setsm_postprocessing_python_spark.operators.footprint import (
+        _signed_area, boundary_rings)
+
+    cells = [(0, 0), (1, 1), (1, 2), (0, 2), (-1, 2), (-1, 1), (-1, 0)]
+    base = boundary_rings(set(cells))
+    assert len(base) == 1
+    ring = base[0]
+    assert abs(_signed_area(ring) - len(cells)) < 1e-9  # coverage-exact
+    assert Counter(ring)[(1, 1)] == 2  # self-touching at the pinch
+    # insertion-order / hash-layout independence
+    for perm in (cells[::-1], cells[3:] + cells[:3]):
+        assert boundary_rings(set(perm)) == base
