@@ -337,22 +337,37 @@ def q_top_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level browse pyramid rollup (10m -> 40m chain,
-    batch_scenes2strips.py:1793-1854): per-block counts plus per-superblock
-    (4x coarser) counts in one output."""
+    """Three-level browse pyramid rollup (10m -> 40m chain,
+    batch_scenes2strips.py:1793-1854) MERGED with the nearest-neighbor
+    upsample-to-native step (8m mask -> native res,
+    lib/filter_scene.py:339-341) — the same block-rollup scan feeds both:
+    per-block and per-superblock (4x coarser) counts, plus 'native'-level
+    rows where the per-block mean z is broadcast back down to every
+    occupied native cell (broadcast hash join against the tiny block agg —
+    the upsample plan shape). z_up is NULL on the two rollup levels."""
     df = (P.geocoded_pages(spark, sf_dir)
+          .withColumn("z", F.expr(D.z_expr(D.SPARK)))
           .withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
           .withColumn("by", F.expr(D.block_y_expr(D.SPARK))))
-    fine = df.groupBy("bx", "by").agg(F.count(F.lit(1)).alias("n")).select(
+    blocks = (df.groupBy("bx", "by")
+              .agg(F.count(F.lit(1)).alias("n"), F.avg("z").alias("bz")))
+    fine = blocks.select(
         F.lit("block").alias("level"),
-        (F.col("by") * 64 + F.col("bx")).cast("bigint").alias("key"), "n")
+        (F.col("by") * 64 + F.col("bx")).cast("bigint").alias("key"), "n",
+        F.lit(None).cast("double").alias("z_up"))
     coarse = (df.withColumn("sx", F.expr("shiftright(bx, 2)"))
               .withColumn("sy", F.expr("shiftright(by, 2)"))
               .groupBy("sx", "sy").agg(F.count(F.lit(1)).alias("n"))
               .select(F.lit("superblock").alias("level"),
                       (F.col("sy") * 64 + F.col("sx")).cast("bigint").alias("key"),
-                      "n"))
-    return fine.unionByName(coarse)
+                      "n", F.lit(None).cast("double").alias("z_up")))
+    native = (df.groupBy("bx", "by", "cell")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .join(F.broadcast(blocks.select("bx", "by", "bz")), ["bx", "by"])
+              .select(F.lit("native").alias("level"),
+                      F.col("cell").cast("bigint").alias("key"), "n",
+                      F.round("bz", 6).alias("z_up")))
+    return fine.unionByName(coarse).unionByName(native)
 
 
 # ---------------------------------------------------------------------------
@@ -394,18 +409,6 @@ def q_interp_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("cell", F.expr(D.cell_id_from_xy())))
     out = interp_shifted(df, "z", SHIFT_DX, SHIFT_DY)
     return out.select("cell", F.round("v_shifted", 6).alias("v_shifted"))
-
-
-def q_upsample_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-neighbor resize back to native cells: per-block mean z
-    broadcast to every member cell (the 8m-mask -> native-res step,
-    lib/filter_scene.py:339-341)."""
-    df = (P.geocoded_pages(spark, sf_dir)
-          .withColumn("z", F.expr(D.z_expr(D.SPARK)))
-          .withColumn("block", F.expr(D.block_id_expr(D.SPARK))))
-    per_block = df.groupBy("block").agg(F.avg("z").alias("bz"))
-    return (df.join(F.broadcast(per_block), "block")
-            .select("url", "cell", F.round("bz", 6).alias("z_block")))
 
 
 def q_crawl_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,15 +680,25 @@ ORACLES: dict[str, str] = {
            ) WHERE host_rank <= 5"""),
     "q_pyramid": _with_cells(
         """SELECT 'block' AS level,
-                  CAST((cell_y >> 12) * 64 + (cell_x >> 12) AS BIGINT) AS key,
-                  CAST(count(*) AS BIGINT) AS n
-           FROM cells GROUP BY 2
+                  CAST(by * 64 + bx AS BIGINT) AS key, n,
+                  CAST(NULL AS DOUBLE) AS z_up
+           FROM blk
            UNION ALL
            SELECT 'superblock' AS level,
-                  CAST(((cell_y >> 12) >> 2) * 64 + ((cell_x >> 12) >> 2)
-                    AS BIGINT) AS key,
-                  CAST(count(*) AS BIGINT) AS n
-           FROM cells GROUP BY 2"""),
+                  CAST((by >> 2) * 64 + (bx >> 2) AS BIGINT) AS key,
+                  CAST(sum(n) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS z_up
+           FROM blk GROUP BY 2
+           UNION ALL
+           SELECT 'native' AS level, CAST(nat.cell AS BIGINT) AS key, nat.n,
+                  round(blk.bz, 6) AS z_up
+           FROM nat JOIN blk ON nat.bx = blk.bx AND nat.by = blk.by""",
+        extra_ctes=f"""
+        zc AS (SELECT (cell_x >> 12) AS bx, (cell_y >> 12) AS by, cell,
+                      {D.z_expr(_DD)} AS z FROM cells),
+        blk AS (SELECT bx, by, CAST(count(*) AS BIGINT) AS n, avg(z) AS bz
+                FROM zc GROUP BY bx, by),
+        nat AS (SELECT bx, by, cell, CAST(count(*) AS BIGINT) AS n
+                FROM zc GROUP BY bx, by, cell)"""),
 }
 
 
@@ -728,15 +741,6 @@ ORACLES["q_interp_shift"] = _with_cells(
     extra_ctes=f"wts(ox, oy, w) AS (VALUES {_WTS}), "
     f"zb AS (SELECT (cell_x >> 12) AS cell_x, (cell_y >> 12) AS cell_y, "
     f"{D.z_expr(_DD)} AS z FROM cells)")
-
-ORACLES["q_upsample_nearest"] = _with_cells(
-    f"""SELECT c.url, c.cell, round(b.bz, 6) AS z_block
-        FROM (SELECT *, {D.block_id_expr(_DD)} AS block,
-                     {D.z_expr(_DD)} AS z FROM cells) c
-        JOIN (SELECT block, avg(z) AS bz FROM
-                (SELECT {D.block_id_expr(_DD)} AS block, {D.z_expr(_DD)} AS z
-                 FROM cells) GROUP BY block) b
-          ON c.block = b.block""")
 
 ORACLES["q_crawl_intervals"] = _with_cells(
     """SELECT group_id, CAST(count(delta) AS BIGINT) AS n_gaps,
@@ -789,7 +793,6 @@ QUERIES = {
     "q_morphology": q_morphology,
     "q_conv2": q_conv2,
     "q_interp_shift": q_interp_shift,
-    "q_upsample_nearest": q_upsample_nearest,
     "q_crawl_intervals": q_crawl_intervals,
     "q_slope": q_slope,
     "q_fill_holes": q_fill_holes,
