@@ -242,32 +242,63 @@ def _coregister(key, a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
         "rmse": best_rmse, "status": "ok"}])
 
 
-def coregister_pairs(df: DataFrame, pair_of) -> DataFrame:
+def _host_parity():
+    return F.expr("pmod(cast(substring(group_id, 5) as int), 2)")
+
+
+def coregister_pairs(df: DataFrame, pair_of,
+                     guess: DataFrame | None = None,
+                     side_of=None) -> DataFrame:
     """Cogrouped coregistration: pair_of(group_id_col) -> pair key expr.
     df needs (group_id, url, lat, lon, cell_x, cell_y). Adds z + coarse
-    blocks, cogroups the two sides of each pair, fits the alignment."""
+    blocks, cogroups the two sides of each pair, fits the alignment.
+
+    guess: a prior coregister_pairs output (the reference's trans_guess
+    with hold_guess=HOLD_GUESS_ALL, lib/scenes2strips.py:516-519 /
+    batch_scenes2strips.py:1419-1428): pairs present in `guess` are NOT
+    re-fit — their rows pass through verbatim — and only the remaining
+    pairs run the cogrouped fit. The guess table is per-pair tiny, so the
+    anti-join broadcasts.
+
+    side_of: expression for the 0/1 side of a row within its pair
+    (default: host-number parity)."""
+    if side_of is None:
+        side_of = _host_parity
     base = (df.withColumn("z", F.expr(D.z_expr(D.SPARK)))
               .withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
               .withColumn("by", F.expr(D.block_y_expr(D.SPARK)))
               .withColumn("block", F.expr(D.block_id_expr(D.SPARK)))
               .withColumn("pair", pair_of(F.col("group_id")))
-              .select("pair", "group_id", "z", "bx", "by", "block"))
-    side_a = base.where(F.expr("pmod(cast(substring(group_id, 5) as int), 2) = 0"))
+              .withColumn("side", side_of())
+              .select("pair", "side", "group_id", "z", "bx", "by", "block"))
+    if guess is not None:
+        held_pairs = guess.select(pair_of(F.col("group_a")).alias("pair")).distinct()
+        base = base.join(F.broadcast(held_pairs), "pair", "left_anti")
+    side_a = base.where("side = 0").drop("side")
     # NB: the right side's columns are renamed — with identical attribute
     # names from shared lineage, Catalyst prunes the right cogroup frame
-    # down to the key column (observed on Spark 4.1; see tests)
-    side_b = (base.where(F.expr("pmod(cast(substring(group_id, 5) as int), 2) = 1"))
-              .select("pair", F.col("group_id").alias("group_id_b"),
+    # down to the key column (observed on Spark 4.1; see tests); the KEY
+    # is renamed too, or the ambiguous-self-join check trips once the
+    # guess anti-join re-uses base's attributes on both cogroup sides
+    side_b = (base.where("side = 1")
+              .select(F.col("pair").alias("pair_b"),
+                      F.col("group_id").alias("group_id_b"),
                       F.col("z").alias("z_b"), F.col("block").alias("block_b")))
-    return (side_a.groupBy("pair")
-            .cogroup(side_b.groupBy("pair"))
-            .applyInPandas(_coregister, COREG_SCHEMA))
+    fitted = (side_a.groupBy("pair")
+              .cogroup(side_b.groupBy("pair_b"))
+              .applyInPandas(_coregister, COREG_SCHEMA))
+    if guess is not None:
+        fitted = fitted.unionByName(guess.select(
+            "group_a", "group_b", "n_points", "iters",
+            "dz", "dx", "dy", "rmse", "status"))
+    return fitted
 
 
 def host_pair(col):
     """Pair host{2i} with host{2i+1} (the strip-pair analogue)."""
-    return F.concat(F.lit("pair"),
-                    F.floor(F.expr("cast(substring(group_id, 5) as int)") / 2).cast("string"))
+    return F.concat(
+        F.lit("pair"),
+        F.floor(F.substring(col, 5, 16).cast("int") / 2).cast("bigint").cast("string"))
 
 
 # ---------------------------------------------------------------------------
@@ -406,3 +437,155 @@ def feather_blend(df: DataFrame) -> DataFrame:
         (F.col("na") + F.col("nb")).alias("n_pages"),
         F.expr("cast(fla | flb as int)").alias("flags_merged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# full strip assembly (the scenes2strips main loop,
+# lib/scenes2strips.py:570-692): coregister -> apply the fitted
+# translation to the incoming side -> feather blend + OR/bit_or combine
+# ---------------------------------------------------------------------------
+
+STRIP_MAX_COREG_RMSE = 1.0  # segment-break cutoff (scenes2strips max_coreg_rmse=1)
+
+
+def _corners():
+    # built lazily: F.lit needs an active SparkContext
+    return F.array(*[
+        F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+        for i in (0, 1) for j in (0, 1)
+    ])
+
+
+def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
+                   max_rmse: float = STRIP_MAX_COREG_RMSE,
+                   pair_of=host_pair, side_of=None) -> DataFrame:
+    """The full scenes2strips assembly (lib/scenes2strips.py:570-692),
+    composed at the coarse-block grain:
+
+    1. coregister_pairs fits (dz, dx, dy) per host pair (pass `coreg` —
+       e.g. read back from the manifest — to hold prior translations,
+       the pass-2 trans_guess/HOLD_GUESS_ALL path,
+       batch_scenes2strips.py:1419-1428).
+    2. segment break where rmse is NaN or > max_rmse (:557-568): the pair
+       keeps its mosaic side un-blended (scene not merged).
+    3. the incoming side B is shifted by the FITTED translation: values
+       z - dz bilinearly resampled at block + (dx, dy) (the
+       interp2 'linear' of zi, :570-583, with the incomplete-neighborhood
+       drop standing in for the border-NaN erosion, :610-615); presence
+       and flag masks take the nearest-neighbor shift (interp 'nearest'
+       of matchtag/md, :585-607).
+    4. blend: z = W*zA + (1-W)*zi on the overlap with the reference
+       rescaled span weight clip((w-0.25)/0.3, 0, 1) (:461-476, 633-640);
+       one-sided blocks keep their own value (Zsub_only/zi_only,
+       :635-639); presence combines by OR (:646), flag masks by
+       bitwise-or (:692).
+
+    The per-pair translation table is tiny -> broadcast hash join; the
+    bilinear shift is a 4-entry JVM explode (no UDF beyond the coreg fit);
+    the blend is one co-partitioned full-outer join per pair/block.
+
+    pair_of / side_of: pairing grain (default host pairs; the registered
+    driver-scale query pairs even vs odd hosts in ONE pair so the >=10-
+    shared-block fit gate is satisfiable at 500 rows — same rationale as
+    the coarse kNN cells).
+
+    Output: (pair, bx, by, block, src, w, z_strip, n_pages, matchtag,
+    flags_merged, segment_break)."""
+    if side_of is None:
+        side_of = _host_parity
+    if coreg is None:
+        coreg = coregister_pairs(df, pair_of, side_of=side_of)
+    trans = coreg.select(
+        pair_of(F.col("group_a")).alias("pair"),
+        "dz", "dx", "dy", "rmse", "status",
+        (F.col("status").isin("ok", "offset_capped")
+         & ~F.isnan("rmse") & (F.col("rmse") <= max_rmse)).alias("usable"))
+
+    base = (df.withColumn("z", F.expr(D.z_expr(D.SPARK)))
+              .withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
+              .withColumn("by", F.expr(D.block_y_expr(D.SPARK)))
+              .withColumn("pair", pair_of(F.col("group_id"))))
+    agg = base.groupBy("pair", "bx", "by", side_of().alias("side")).agg(
+        F.sum("z").alias("sz"), F.count(F.lit(1)).alias("n"),
+        F.expr("bit_or(flags)").alias("fl"))
+    a = agg.where("side = 0").select(
+        "pair", "bx", "by", (F.col("sz") / F.col("n")).alias("za"),
+        F.col("n").alias("na"), F.col("fl").alias("fla"))
+    b = agg.where("side = 1").select(
+        "pair", "bx", "by", (F.col("sz") / F.col("n")).alias("zb"),
+        F.col("n").alias("nb"), F.col("fl").alias("flb"))
+
+    # --- step 3: apply the fitted translation to side B ---
+    bt = b.join(F.broadcast(trans.where("usable")), "pair")
+    fx, fy = F.floor("dx"), F.floor("dy")
+    ax, ay = F.col("dx") - fx, F.col("dy") - fy
+    # bilinear value shift, scatter form: source block s feeds targets
+    # c = s - floor(d) - {0,1}; target c then samples c + d from the unit
+    # square [c+floor(d), c+floor(d)+1]^2 with the usual bilinear weights
+    scat = (bt.withColumn("_c", F.explode(_corners()))
+            .select("pair",
+                    (F.col("bx") - fx - F.col("_c.i")).alias("tbx"),
+                    (F.col("by") - fy - F.col("_c.j")).alias("tby"),
+                    (F.when(F.col("_c.i") == 0, 1.0 - ax).otherwise(ax)
+                     * F.when(F.col("_c.j") == 0, 1.0 - ay).otherwise(ay)
+                     ).alias("w4"),
+                    (F.col("zb") - F.col("dz")).alias("zs")))
+    zi = (scat.groupBy("pair", "tbx", "tby")
+          .agg(F.sum(F.col("w4") * F.col("zs")).alias("wz"),
+               F.sum("w4").alias("wsum"))
+          # complete-support gate: weights must sum to 1 (missing source
+          # blocks or the padded border drop out -> the NaN-border erosion
+          # analogue). 1e-9 absorbs the 4-term float-sum ulp.
+          .where(F.col("wsum") >= 1.0 - 1e-9)
+          .select("pair", F.col("tbx").alias("bx"), F.col("tby").alias("by"),
+                  F.col("wz").alias("zi")))
+    # nearest-neighbor shift for presence + flag masks (interp 'nearest')
+    rx = F.floor(F.col("dx") + 0.5)
+    ry = F.floor(F.col("dy") + 0.5)
+    bn = bt.select("pair", (F.col("bx") - rx).alias("bx"),
+                   (F.col("by") - ry).alias("by"),
+                   F.col("nb"), F.col("flb"))
+    bs = zi.join(bn, ["pair", "bx", "by"], "full_outer")
+
+    # --- step 4: feather blend + OR/bit_or combine ---
+    # only usable pairs blend; the rest take the segment-break path below
+    a_ok = a.join(F.broadcast(trans.where("usable").select("pair")),
+                  "pair", "left_semi")
+    j = a_ok.join(bs, ["pair", "bx", "by"], "full_outer")
+    in_a = F.col("na").isNotNull()
+    in_b = F.col("zi").isNotNull() | F.col("nb").isNotNull()
+    both = in_a & F.col("zi").isNotNull()
+    from pyspark.sql import Window
+    w = Window.partitionBy("pair")
+    span0 = F.min(F.when(both, F.col("bx"))).over(w)
+    span1 = F.max(F.when(both, F.col("bx"))).over(w)
+    raw = (F.col("bx") - span0).cast("double") / \
+        F.greatest((span1 - span0).cast("double"), F.lit(1.0))
+    wgt = F.least(F.greatest((raw - 0.25) / (0.55 - 0.25), F.lit(0.0)), F.lit(1.0))
+    blended = j.select(
+        "pair", "bx", "by",
+        (F.col("by") * 64 + F.col("bx")).cast("bigint").alias("block"),
+        F.when(both, F.lit("both")).when(in_a, F.lit("a_only"))
+         .otherwise(F.lit("b_only")).alias("src"),
+        F.when(both, wgt).alias("w"),
+        F.when(both, wgt * F.col("za") + (F.lit(1.0) - wgt) * F.col("zi"))
+         .when(in_a, F.col("za")).otherwise(F.col("zi")).alias("z_strip"),
+        (F.coalesce(F.col("na"), F.lit(0))
+         + F.coalesce(F.col("nb"), F.lit(0))).alias("n_pages"),
+        (in_a | F.col("nb").isNotNull()).alias("matchtag"),
+        F.expr("cast(coalesce(fla, 0) | coalesce(flb, 0) as int)")
+        .alias("flags_merged"),
+        F.lit(False).alias("segment_break"))
+    # segment-break pairs: the mosaic side rides through un-blended
+    broken = a.join(F.broadcast(trans.where(F.expr("NOT usable"))
+                                .select("pair")), "pair").select(
+        "pair", "bx", "by",
+        (F.col("by") * 64 + F.col("bx")).cast("bigint").alias("block"),
+        F.lit("a_only").alias("src"),
+        F.lit(None).cast("double").alias("w"),
+        F.col("za").alias("z_strip"),
+        F.col("na").alias("n_pages"),
+        F.lit(True).alias("matchtag"),
+        F.col("fla").cast("int").alias("flags_merged"),
+        F.lit(True).alias("segment_break"))
+    return blended.unionByName(broken)

@@ -1,8 +1,17 @@
 """End-to-end pipeline: the run_s2s analogue (reference
 batch_scenes2strips.py:962-1565) as a manifest-checkpointed stage chain.
 
-    pages -> geocode+flags -> tile assign -> merge order -> coregistration
-          -> per-tile rollup
+    pages -> geocode+flags -> tile assign -> merge order
+          -> coregister (pass 1) -> strip_assemble (pass 2, holds pass-1
+          translations) -> per-tile rollup
+
+The coregister/strip_assemble split is the reference's two-pass coreg-step
+-> mosaic-step structure: pass 1 fits and PERSISTS the per-pair
+translations (saveStripMeta / readStripMeta_stats,
+batch_scenes2strips.py:2139-2176); pass 2 reads them back and feeds them
+to strip_assemble as the held trans_guess (HOLD_GUESS_ALL,
+batch_scenes2strips.py:1419-1428) — a resumed or re-run mosaic pass never
+re-fits, it consumes the persisted translations.
 
 Every stage writes through plans/manifest.run_stage: output partitioned by
 the stage's unit (group_id or tile_id), one manifest row per unit with
@@ -61,7 +70,29 @@ def run_pipeline(spark: SparkSession, sf_dir: str, workdir: str) -> list[dict]:
     results.append(run_stage(spark, "merge_order", fp, "group_id",
                              t_order, out_dir, man_dir))
 
-    # stage 4: per-tile rollup (strip summary stats analogue)
+    # stage 4 (pass 1): coregistration per host pair, translations persisted
+    paired = base.withColumn("pair", M.host_pair(F.col("group_id")))
+
+    def t_coreg(df):
+        out = M.coregister_pairs(df.drop("unit"), M.host_pair)
+        return out.withColumn("unit", M.host_pair(F.col("group_a")))
+    results.append(run_stage(spark, "coregister", paired, "pair",
+                             t_coreg, out_dir, man_dir))
+
+    # stage 5 (pass 2): strip assembly HOLDING the persisted translations —
+    # the mosaic pass consumes readStripMeta_stats-style prior trans as
+    # trans_guess and runs zero fits of its own
+    coreg_prior = (spark.read.parquet(f"{out_dir}/coregister")
+                   .select("group_a", "group_b", "n_points", "iters",
+                           "dz", "dx", "dy", "rmse", "status"))
+
+    def t_strip(df):
+        out = M.strip_assemble(df.drop("unit"), coreg=coreg_prior)
+        return out.withColumn("unit", F.col("pair"))
+    results.append(run_stage(spark, "strip_assemble", paired, "pair",
+                             t_strip, out_dir, man_dir))
+
+    # stage 6: per-tile rollup (strip summary stats analogue)
     assigned = spark.read.parquet(f"{out_dir}/tile_assign")
 
     def t_rollup(df):

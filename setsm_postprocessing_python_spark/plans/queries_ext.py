@@ -230,6 +230,41 @@ def q_feather_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "n_pages", "flags_merged")
 
 
+STRIP_ASSEMBLY_RMSE = 50.0  # scaled to the synthetic z field: z is a
+# uniform-[0,100) md5 hash per page, so per-block mean differences between
+# sides carry ~30 RMSE of irreducible noise — the reference's default
+# max_coreg_rmse=1 assumes metre-aligned DEMs and would always segment-break
+# here (the cutoff is the reference's own ARGSTR_RMSE_CUTOFF knob)
+
+
+def q_strip_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL scenes2strips assembly composition
+    (lib/scenes2strips.py:570-692): coregister -> apply the fitted
+    (dz,dx,dy) via shifted bilinear/nearest resample on side B -> feather
+    blend + OR/bit_or combine. Two pairing grains in one output:
+    - 'super': even vs odd hosts as one pair, so the >=10-shared-block
+      fit gate passes at driver scale (coarse-kNN rationale) and the
+      blend path is exercised (both/a_only/b_only rows);
+    - 'host': host{2i}/host{2i+1} pairs, which legitimately segment-break
+      at driver scale (no pair shares 10 blocks) and hash-lock the
+      segment-break path.
+    Golden oracle (the coreg LSQ inside is non-SQL); the blend algebra is
+    independently pinned against a numpy oracle in
+    tests/test_strip_assembly.py."""
+    df = with_flags(P.geocoded_pages(spark, sf_dir))
+    sup = M.strip_assemble(df, pair_of=lambda c: F.lit("all"),
+                           max_rmse=STRIP_ASSEMBLY_RMSE)
+    host = M.strip_assemble(df, max_rmse=STRIP_ASSEMBLY_RMSE)
+    out = (sup.withColumn("variant", F.lit("super"))
+           .unionByName(host.withColumn("variant", F.lit("host"))))
+    return out.select(
+        "variant", "pair", "block", "src",
+        F.round("w", 6).alias("w"),
+        F.round("z_strip", 6).alias("z_strip"),
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+        "matchtag", "flags_merged", "segment_break")
+
+
 # ---------------------------------------------------------------------------
 # geospatial extras
 # ---------------------------------------------------------------------------
@@ -782,6 +817,8 @@ for _n, _c in EMB_GOLDEN_COLS.items():
 
 
 GOLDEN_COLS = {
+    "q_strip_assembly": ("variant, pair, block, src, w, z_strip, n_pages, "
+                         "matchtag, flags_merged, segment_break"),
     "q_cell_indexes": "url, cell_s2, cell_hex, cell_h3, h3_ring_sum",
     "q_footprints": ("group_id, n_cells, n_vertices, hull_area, "
                      "convex_area, is_concave, wkt"),
@@ -815,6 +852,7 @@ QUERIES = {
     "q_merge_order": q_merge_order,
     "q_coregister": q_coregister,
     "q_feather_blend": q_feather_blend,
+    "q_strip_assembly": q_strip_assembly,
     "q_ann_lsh": q_ann_lsh,            # approximate by design; deterministic
     "q_ann_ivf": q_ann_ivf,            # given seeds -> golden-checked
     "q_ann_dedup": q_ann_dedup,        # exact-collapse -> LSH over reps

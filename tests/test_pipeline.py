@@ -57,6 +57,57 @@ def test_pipeline_clean_vs_interrupted_resume(spark, workdirs):
     assert by_stage["geocode"]["units_run"] == 0
     assert by_stage["tile_assign"]["units_run"] == 0
     assert by_stage["merge_order"]["units_run"] == 0
+    assert by_stage["coregister"]["units_run"] == 0
+    assert by_stage["strip_assemble"]["units_run"] == 0
     assert by_stage["tile_rollup"]["units_run"] > 0
 
     assert _final_state(spark, clean_dir) == _final_state(spark, resume_dir)
+
+
+def test_strip_pass2_holds_persisted_translations(spark, workdirs):
+    """The mosaic pass consumes the PERSISTED pass-1 translations (the
+    readStripMeta_stats -> trans_guess/HOLD_GUESS_ALL path): forcing the
+    strip_assemble stage to re-run picks up edits made to the persisted
+    coregister output — proof there is no hidden re-fit — and an
+    untouched resume reproduces the identical strip output."""
+    import pyspark.sql.functions as F
+
+    workdir, _ = workdirs
+    run_pipeline(spark, SF, workdir)
+    strip1 = sorted(map(tuple, spark.read.parquet(
+        f"{workdir}/out/strip_assemble")
+        .select("pair", "block", "src", "segment_break").collect()))
+
+    # plain resume: nothing re-runs, output identical
+    r2 = run_pipeline(spark, SF, workdir)
+    assert {s["stage"]: s["units_run"] for s in r2}["strip_assemble"] == 0
+    strip2 = sorted(map(tuple, spark.read.parquet(
+        f"{workdir}/out/strip_assemble")
+        .select("pair", "block", "src", "segment_break").collect()))
+    assert strip1 == strip2
+
+    # rewrite the persisted translations to a perfect usable fit, drop the
+    # strip stage's manifest rows (stale-output analogue), re-run: the pass
+    # consumes the EDITED translations -> blended rows appear where the
+    # genuine fit had segment-broken (no re-fit happened)
+    coreg = spark.read.parquet(f"{workdir}/out/coregister")
+    forged = coreg.select(
+        "group_a", "group_b", "n_points", "iters",
+        F.lit(0.0).alias("dz"), F.lit(0.0).alias("dx"), F.lit(0.0).alias("dy"),
+        F.lit(0.0).alias("rmse"), F.lit("ok").alias("status"), "unit")
+    forged.write.mode("overwrite").parquet(f"{workdir}/out/coregister_new")
+    shutil.rmtree(Path(workdir) / "out" / "coregister")
+    Path(workdir, "out", "coregister_new").rename(
+        Path(workdir, "out", "coregister"))
+    man = spark.read.parquet(f"{workdir}/manifest")
+    kept = man.where("stage <> 'strip_assemble'")
+    kept.write.mode("overwrite").parquet(f"{workdir}/manifest_new")
+    shutil.rmtree(Path(workdir) / "manifest")
+    Path(workdir, "manifest_new").rename(Path(workdir, "manifest"))
+
+    r3 = run_pipeline(spark, SF, workdir)
+    assert {s["stage"]: s["units_run"] for s in r3}["strip_assemble"] > 0
+    assert {s["stage"]: s["units_run"] for s in r3}["coregister"] == 0
+    strip3 = spark.read.parquet(f"{workdir}/out/strip_assemble")
+    assert strip3.where("NOT segment_break").count() > 0
+    assert strip3.where("segment_break").count() == 0
