@@ -59,3 +59,81 @@ def cell_flags_merge(df: DataFrame, key: str = "cell", flags: str = "flags") -> 
         F.expr(f"bit_or({flags})").alias("flags_merged"),
         F.count(F.lit(1)).alias("n_pages"),
     )
+
+
+# ---------------------------------------------------------------------------
+# nodata policy family (batch_mask.py:944-958) — the masked-write
+# projection modes: same / add / switch / convert / unset
+# ---------------------------------------------------------------------------
+
+NODATA_MASKVAL = -9999.0       # the masking value written over selected cells
+NODATA_SRC_SENTINEL = -1.0     # the source's declared nodata (src variant)
+NODATA_POLICIES = ("same", "add", "switch", "convert", "unset")
+
+
+def nodata_policy_stats(df: DataFrame, group: str = "group_id",
+                        z: str = "z", flags: str = "flags") -> DataFrame:
+    """The batch_mask nodata-option family (batch_mask.py:944-958) over
+    the masked write path, evaluated for BOTH source cases (a source with
+    a declared nodata sentinel and one without — the reference's
+    src_nodataval None branches):
+
+    every policy writes maskval over mask-selected cells
+    (dst_array[mask] = maskval); then
+    - same:    declared dst nodata = the src nodata (None if unset),
+    - add:     src nodata if set, else maskval,
+    - switch:  maskval,
+    - convert: cells equal to the src nodata are REWRITTEN to maskval
+               (dst_array[dst_array == src_nodataval] = maskval) and the
+               declared nodata is maskval,
+    - unset:   no declared nodata.
+
+    Output grain: (group, policy, has_src_nodata) with the declared
+    nodata value, the count of cells that READ as nodata under it, and
+    the sum of live values — the full observable behavior of the masked
+    write under each policy.
+
+    Plan shape: ONE scan + one groupBy computes five per-group partials;
+    the 5x2 policy table is a broadcast cross join and every policy
+    column is JVM CASE algebra over the partials — adding policies costs
+    nothing at scale."""
+    src_is_nod = F.col(z) < 10.0  # sentinel-carrying source cells (~10 %)
+    masked_sel = F.col(flags) > 0
+    per_group = df.groupBy(group).agg(
+        F.sum(F.when(masked_sel, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~masked_sel & src_is_nod, 1).otherwise(0)).alias("b"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(~masked_sel & ~src_is_nod, F.col(z))
+              .otherwise(0.0)).alias("s_src"),
+        F.sum(F.when(~masked_sel, F.col(z)).otherwise(0.0)).alias("s_ns"))
+    spark = df.sparkSession
+    pol = spark.createDataFrame(
+        [(p, s) for p in NODATA_POLICIES for s in (True, False)],
+        "policy string, has_src_nodata boolean")
+    x = per_group.crossJoin(F.broadcast(pol))
+    mv, sv = F.lit(NODATA_MASKVAL), F.lit(NODATA_SRC_SENTINEL)
+    p, src = F.col("policy"), F.col("has_src_nodata")
+    nodata_val = (
+        F.when(p.isin("switch", "convert"), mv)
+         .when((p == "add") & ~src, mv)
+         .when(p.isin("same", "add") & src, sv))           # else NULL (unset)
+    n_nodata = (
+        F.when(p == "unset", F.lit(0))
+         .when(src & p.isin("same", "add"), F.col("b"))
+         .when(src & (p == "switch"), F.col("a"))
+         .when(src & (p == "convert"), F.col("a") + F.col("b"))
+         .when(~src & (p == "same"), F.lit(0))
+         .otherwise(F.col("a")))                           # ~src add/switch/convert
+    sum_live = (
+        F.when(src & p.isin("same", "add"),
+               F.col("s_src") + F.col("a") * mv)
+         .when(src & (p == "switch"), F.col("s_src") + F.col("b") * sv)
+         .when(src & (p == "convert"), F.col("s_src"))
+         .when(src & (p == "unset"),
+               F.col("s_src") + F.col("a") * mv + F.col("b") * sv)
+         .when(~src & p.isin("add", "switch", "convert"), F.col("s_ns"))
+         .otherwise(F.col("s_ns") + F.col("a") * mv))      # ~src same/unset
+    return x.select(
+        F.col(group), "policy", "has_src_nodata", nodata_val.alias("nodata_val"),
+        n_nodata.cast("bigint").alias("n_nodata"),
+        F.round(sum_live, 6).alias("sum_live"))

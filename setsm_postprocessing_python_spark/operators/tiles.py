@@ -266,18 +266,54 @@ def adaptive_leaf_map(df: DataFrame, max_pages: int, max_depth: int = 12,
         "qk", F.expr("substring(qk, 1, leaf_lvl + 1)").alias("tile_id"))
 
 
+def assign_tiles_adaptive(df: DataFrame, max_pages: int, max_depth: int = 12,
+                          lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Adaptive-tile assignment, fully distributed — the SCALE path.
+
+    Joins the pages (keyed by their max-depth quadkey, pure JVM
+    arithmetic) against the adaptive_leaf_map output on that deep key.
+    Zero driver-side collection at any input size: the leaf map lives
+    distributed, the join co-partitions on the deep key (AQE may
+    broadcast it when small). Use this at scale; the Tile-list/PIP path
+    below is for bounded tile tables (it materializes the tree on the
+    driver and is guarded by a leaf budget)."""
+    leaf = (adaptive_leaf_map(df, max_pages, max_depth, lat, lon)
+            .withColumnRenamed("qk", "_qk"))
+    with_qk = df.withColumn(
+        "_qk", F.expr(D.quadkey_expr(D.SPARK, lat, lon, max_depth)))
+    return with_qk.join(leaf, "_qk").drop("_qk")
+
+
+# Tile-list budget for the driver-side PIP path: past this, building the
+# Tile list would bottleneck the driver (at 10^12 pages / max_pages leaves
+# the list is ~10^10 entries) — the join path above is the scale answer.
+ADAPTIVE_LEAF_BUDGET = 1 << 16
+
+
 def adaptive_tiles(df: DataFrame, max_pages: int, max_depth: int = 12,
-                   lat: str = "lat", lon: str = "lon") -> list[Tile]:
+                   lat: str = "lat", lon: str = "lon",
+                   leaf_budget: int = ADAPTIVE_LEAF_BUDGET) -> list[Tile]:
     """Adaptive tiling, Tile-list form for the PIP path: the analogue of
     the reference's coarse-then-refine strategy (lib/filter_scene.py:
     489-492) applied to tile splitting. The leaf computation is fully
     distributed (adaptive_leaf_map); only the distinct NON-EMPTY leaf ids
     (bounded by ~page_count/max_pages) reach the driver — plus their empty
     sibling leaves, reconstructed driver-side so the tile set still tiles
-    the plane like the split tree does."""
-    occupied = sorted(r[0] for r in
-                      adaptive_leaf_map(df, max_pages, max_depth, lat, lon)
-                      .select("tile_id").distinct().collect())
+    the plane like the split tree does.
+
+    RAISES past leaf_budget: a leaf set that size has outgrown any
+    driver-side tile list — route assignment through
+    assign_tiles_adaptive (the distributed join) instead."""
+    leaf_ids = (adaptive_leaf_map(df, max_pages, max_depth, lat, lon)
+                .select("tile_id").distinct())
+    n_leaves = leaf_ids.count()
+    if n_leaves > leaf_budget:
+        raise ValueError(
+            f"{n_leaves} adaptive leaves > budget {leaf_budget}: the "
+            "driver-side Tile list would bottleneck; assign via "
+            "assign_tiles_adaptive (distributed join) instead, or raise "
+            "leaf_budget for a genuinely bounded tile table.")
+    occupied = sorted(r[0] for r in leaf_ids.collect())
     split_ids = {t[:lvl] for t in occupied for lvl in range(1, len(t))}
     out: list[Tile] = []
     frontier = [ROOT]

@@ -89,14 +89,21 @@ def q_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mask_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nowater bit-unset then flagged-page census per host group
-    (lib/scenes2strips.py:1160-1174 + bit_or merge :691)."""
+    (lib/scenes2strips.py:1160-1174 + bit_or merge :691), JOINED with the
+    batch_mask nodata policy family (batch_mask.py:944-958): per
+    (group, policy, src-case) the declared dst nodata, nodata-reading
+    cell count, and live-value sum of the masked write under
+    same/add/switch/convert/unset."""
     df = OF.with_flags(P.pages(spark, sf_dir))
     df = OF.unset_bits(df, nowater=True)
-    return df.groupBy("group_id").agg(
+    census = df.groupBy("group_id").agg(
         F.sum(F.when(F.col("flags") > 0, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
         F.expr("cast(bit_or(flags) as int)").alias("flags_merged"),
         F.count(F.lit(1)).alias("n_pages"),
     )
+    policies = OF.nodata_policy_stats(
+        df.withColumn("z", F.expr(D.z_expr(D.SPARK))))
+    return census.join(policies, "group_id")
 
 
 def q_ring_density(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,12 +163,57 @@ ORACLES: dict[str, str] = {
     "q_flags": _with_cells(
         f"SELECT url, {D.flags_expr(_DD)} AS flags FROM cells"),
     "q_mask_filter": _with_cells(
-        f"""SELECT group_id,
-             CAST(sum(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-             CAST(bit_or(f) AS INT) AS flags_merged,
-             CAST(count(*) AS BIGINT) AS n_pages
-            FROM (SELECT group_id, ({D.flags_expr(_DD)} & 5) AS f FROM cells)
-            GROUP BY group_id"""),
+        """SELECT g.group_id, g.n_flagged, g.flags_merged, g.n_pages,
+                  pol.policy, pol.has_src_nodata,
+                  CASE WHEN pol.policy IN ('switch', 'convert') THEN -9999.0
+                       WHEN pol.policy = 'add' AND NOT pol.has_src_nodata
+                         THEN -9999.0
+                       WHEN pol.policy IN ('same', 'add') AND pol.has_src_nodata
+                         THEN -1.0
+                  END AS nodata_val,
+                  CAST(CASE WHEN pol.policy = 'unset' THEN 0
+                       WHEN pol.has_src_nodata AND pol.policy IN ('same', 'add')
+                         THEN g.b
+                       WHEN pol.has_src_nodata AND pol.policy = 'switch'
+                         THEN g.a
+                       WHEN pol.has_src_nodata AND pol.policy = 'convert'
+                         THEN g.a + g.b
+                       WHEN NOT pol.has_src_nodata AND pol.policy = 'same'
+                         THEN 0
+                       ELSE g.a END AS BIGINT) AS n_nodata,
+                  round(CASE
+                       WHEN pol.has_src_nodata AND pol.policy IN ('same', 'add')
+                         THEN g.s_src + g.a * -9999.0
+                       WHEN pol.has_src_nodata AND pol.policy = 'switch'
+                         THEN g.s_src + g.b * -1.0
+                       WHEN pol.has_src_nodata AND pol.policy = 'convert'
+                         THEN g.s_src
+                       WHEN pol.has_src_nodata AND pol.policy = 'unset'
+                         THEN g.s_src + g.a * -9999.0 + g.b * -1.0
+                       WHEN NOT pol.has_src_nodata
+                            AND pol.policy IN ('add', 'switch', 'convert')
+                         THEN g.s_ns
+                       ELSE g.s_ns + g.a * -9999.0 END, 6) AS sum_live
+           FROM grp g CROSS JOIN pol""",
+        extra_ctes=f"""
+        fz AS (SELECT group_id, ({D.flags_expr(_DD)} & 5) AS f,
+                      {D.z_expr(_DD)} AS z FROM cells),
+        grp AS (SELECT group_id,
+                  CAST(sum(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_flagged,
+                  CAST(bit_or(f) AS INT) AS flags_merged,
+                  CAST(count(*) AS BIGINT) AS n_pages,
+                  sum(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS a,
+                  sum(CASE WHEN f = 0 AND z < 10.0 THEN 1 ELSE 0 END) AS b,
+                  sum(CASE WHEN f = 0 AND z >= 10.0 THEN z ELSE 0.0 END)
+                    AS s_src,
+                  sum(CASE WHEN f = 0 THEN z ELSE 0.0 END) AS s_ns
+                FROM fz GROUP BY group_id),
+        pol(policy, has_src_nodata) AS (
+          VALUES ('same', TRUE), ('same', FALSE), ('add', TRUE),
+                 ('add', FALSE), ('switch', TRUE), ('switch', FALSE),
+                 ('convert', TRUE), ('convert', FALSE),
+                 ('unset', TRUE), ('unset', FALSE))"""),
     "q_ring_density": _with_cells(
         """SELECT d.target_cell AS cell, CAST(d.n_in_ring AS BIGINT) AS n_in_ring
            FROM (

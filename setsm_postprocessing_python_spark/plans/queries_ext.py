@@ -344,16 +344,19 @@ ADAPTIVE_MAX_DEPTH = 8
 
 def q_adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive quad-tree assignment (split while subtree count >
-    max_pages, depth-capped). The split tree is computed fully distributed
-    (operators/tiles.py:adaptive_leaf_map); assignment goes through the
-    broadcast-PIP path so the rectangle machinery is exercised too. The
-    oracle recomputes the equivalent shortest-fitting-prefix rule in SQL."""
-    from ..operators.tiles import adaptive_tiles, assign_tiles_pip
+    max_pages, depth-capped), via the fully distributed SCALE path:
+    pages join the adaptive_leaf_map output on their max-depth quadkey —
+    zero driver-side collection at any input size (the Tile-list/PIP
+    route is the bounded-tile-table variant, leaf-budget-guarded, and is
+    pinned row-identical to this path in tests/test_plan_shapes.py).
+    The oracle recomputes the equivalent shortest-fitting-prefix rule in
+    SQL."""
+    from ..operators.tiles import assign_tiles_adaptive
 
     df = P.geocoded_pages(spark, sf_dir)
-    tiles = adaptive_tiles(df, max_pages=ADAPTIVE_MAX_PAGES,
-                           max_depth=ADAPTIVE_MAX_DEPTH)
-    return assign_tiles_pip(df, tiles).select("url", "tile_id")
+    return assign_tiles_adaptive(
+        df, max_pages=ADAPTIVE_MAX_PAGES,
+        max_depth=ADAPTIVE_MAX_DEPTH).select("url", "tile_id")
 
 
 def q_hex_knn(spark: SparkSession, sf_dir: str) -> DataFrame:

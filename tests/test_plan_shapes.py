@@ -82,3 +82,30 @@ def test_layout_scan_pushes_cell_range(spark, tmp_path):
     plan = _plan(spark, cell_range_scan(spark, d, 0, 10**9))
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(cell" in plan
+
+
+def test_adaptive_assign_join_path_matches_pip_and_guards(spark):
+    """The distributed adaptive assignment (join on adaptive_leaf_map,
+    zero driver collect) is row-identical to the bounded Tile-list/PIP
+    path, and the Tile-list path raises past its leaf budget."""
+    import pytest
+
+    from setsm_postprocessing_python_spark.operators.tiles import (
+        adaptive_tiles, assign_tiles_adaptive, assign_tiles_pip)
+    from setsm_postprocessing_python_spark.sources.pages import geocoded_pages
+
+    df = geocoded_pages(spark, "/root/testdata/sf0.001")
+    joined = {(r.url, r.tile_id) for r in
+              assign_tiles_adaptive(df, max_pages=50, max_depth=8)
+              .select("url", "tile_id").collect()}
+    tiles = adaptive_tiles(df, max_pages=50, max_depth=8)
+    pip = {(r.url, r.tile_id) for r in
+           assign_tiles_pip(df, tiles).select("url", "tile_id").collect()}
+    assert joined == pip and joined
+    # join path stays a join: no collect-backed local relation of leaves
+    plan = assign_tiles_adaptive(df, max_pages=50, max_depth=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan and "LocalTableScan" not in plan
+
+    with pytest.raises(ValueError, match="assign_tiles_adaptive"):
+        adaptive_tiles(df, max_pages=1, max_depth=8, leaf_budget=10)
