@@ -43,6 +43,13 @@ def main() -> None:
     from setsm_postprocessing_python_spark.plans.queries_ext import (
         EMB_GOLDEN_COLS, EMB_KEY_EXPR_SPARK)
 
+    from setsm_postprocessing_python_spark.plans.queries_ext import (
+        hex_knn_stitched)
+
+    # partial goldens: callables whose output backs only PART of a
+    # registered query's oracle (the rest is live SQL)
+    partials = {"q_hex_knn_stitched": hex_knn_stitched}
+
     qs = E.queries()
     for sf_dir in SF_DIRS:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -51,10 +58,12 @@ def main() -> None:
         emb_key = emb.selectExpr(EMB_KEY_EXPR_SPARK).first()[0]
         only = set(sys.argv[1:])
         for name, key in ([(n, sf_key) for n in GOLDEN_COLS]
-                          + [(n, emb_key) for n in EMB_GOLDEN_COLS]):
+                          + [(n, emb_key) for n in EMB_GOLDEN_COLS]
+                          + [(n, sf_key) for n in partials]):
             if only and name not in only:
                 continue
-            pdf = qs[name](spark, sf_dir).toPandas()
+            fn = partials.get(name) or qs[name]
+            pdf = fn(spark, sf_dir).toPandas()
             pdf["sf_key"] = key
             path = OUT / f"{name}_sf{key}.parquet"
             pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),

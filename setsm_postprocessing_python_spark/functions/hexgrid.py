@@ -359,3 +359,44 @@ def with_h3_cell(df: DataFrame, size: float = H3_RES8_SIZE,
         return pd.Series(h3_cell(lat_s.to_numpy(), lon_s.to_numpy(), size))
 
     return df.withColumn(out, h3_udf(F.col(lat), F.col(lon)))
+
+
+def h3_knn(df: DataFrame, k_neighbors: int = 3,
+           size: float = H3_RES8_SIZE) -> DataFrame:
+    """kNN over the ICOSAHEDRAL index through the cross-face-stitched
+    1-ring (h3_kring_expand): candidates come from the cell itself plus
+    its <=6 sphere-stitched neighbors — so neighbor pairs exist ACROSS
+    face boundaries and around icosa vertices, where the face-local
+    planar ring finds nothing. Ranking is by squared chord distance on
+    the unit sphere (pure JVM trig), total-ordered with the url
+    tiebreak.
+
+    Plan shape: one ring-UDF pass (explode_outer — see the double-eval
+    note on h3_kring_expand), one equi-join on the neighbor cell id
+    (co-partitioned shuffle), WindowGroupLimit top-k. Pairs are unique by
+    construction (the ring ids are distinct per row and the join key is
+    the candidate's single home cell)."""
+    from pyspark.sql import Window
+
+    base = with_h3_cell(df, size=size)
+    a = h3_kring_expand(
+        base.select(F.col("url").alias("url_a"), F.col("lat").alias("lat_a"),
+                    F.col("lon").alias("lon_a"), "cell_h3"), size)
+    b = base.select(F.col("url").alias("url_b"), F.col("lat").alias("lat_b"),
+                    F.col("lon").alias("lon_b"),
+                    F.col("cell_h3").alias("nbr_h3"))
+    j = a.join(b, "nbr_h3").where(F.col("url_a") != F.col("url_b"))
+
+    def _xyz(lat_c: str, lon_c: str):
+        la, lo = F.radians(F.col(lat_c)), F.radians(F.col(lon_c))
+        return (F.cos(la) * F.cos(lo), F.cos(la) * F.sin(lo), F.sin(la))
+
+    xa, ya, za = _xyz("lat_a", "lon_a")
+    xb, yb, zb = _xyz("lat_b", "lon_b")
+    j = j.withColumn("dist2", (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+                     + (za - zb) * (za - zb))
+    w = Window.partitionBy("url_a").orderBy(F.col("dist2").asc(),
+                                            F.col("url_b").asc())
+    return (j.withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= k_neighbors)
+             .select("url_a", "url_b", "rank", "cell_h3", "nbr_h3"))

@@ -359,20 +359,42 @@ def q_adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_depth=ADAPTIVE_MAX_DEPTH).select("url", "tile_id")
 
 
+# coarse gnomonic hex size for the stitched variant: ~6 degrees of arc,
+# so 500 driver-scale pages land several-per-cell and face-edge cells
+# produce genuine CROSS-FACE neighbor pairs
+H3_KNN_COARSE_SIZE = 0.1
+
+
+def hex_knn_stitched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stitched part of q_hex_knn (golden-checked; also the partial-
+    golden generator target in scripts/make_goldens.py)."""
+    from ..functions.hexgrid import h3_knn
+
+    out = h3_knn(P.geocoded_pages(spark, sf_dir), k_neighbors=3,
+                 size=H3_KNN_COARSE_SIZE)
+    return out.select(F.lit("stitched").alias("variant"), "url_a", "url_b",
+                      F.col("rank").alias("knn_rank"))
+
+
 def q_hex_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN over the hex index: hex k-ring expansion + cell-local join.
-    Runs on coarse 5-degree hexes so driver-scale output is non-vacuous
-    (same rationale as q_knn). INDEPENDENT SQL oracle (was a golden
-    freeze through round 3): the axial transform + cube rounding are
-    re-derived in pure DuckDB SQL — round_even(x, 0) reproduces
-    np.round's banker's rounding bit-for-bit — so the driver recomputes
-    the hex index from scratch each round; brute-force cross-check stays
-    in tests/test_hexgrid.py."""
+    """kNN over the hex index, TWO variants in one output:
+    - 'planar': hex k-ring expansion + cell-local join on coarse
+      5-degree planar axial hexes — INDEPENDENT SQL oracle (the axial
+      transform + cube rounding re-derived in DuckDB; round_even(x, 0)
+      reproduces np.round's banker's rounding bit-for-bit);
+    - 'stitched': kNN through the CROSS-FACE-stitched icosahedral 1-ring
+      (functions/hexgrid.h3_knn) at a coarse gnomonic size, where
+      face-edge cells yield genuine cross-face neighbor pairs — golden
+      oracle (icosa projection is non-SQL), non-vacuity pinned in
+      tests/test_hexgrid.py.
+    The oracle UNIONs the planar SQL with the stitched partial golden."""
     from ..functions.hexgrid import hex_knn
 
-    out = hex_knn(P.geocoded_pages(spark, sf_dir), k_neighbors=3, ring=1,
-                  size=5.0)
-    return out.select("url_a", "url_b", F.col("rank").alias("knn_rank"))
+    planar = hex_knn(P.geocoded_pages(spark, sf_dir), k_neighbors=3, ring=1,
+                     size=5.0)
+    planar = planar.select(F.lit("planar").alias("variant"), "url_a",
+                           "url_b", F.col("rank").alias("knn_rank"))
+    return planar.unionByName(hex_knn_stitched(spark, sf_dir))
 
 
 def q_feather_field(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,7 +535,7 @@ ORACLES: dict[str, str] = {
     # algebra as q_minhash_lsh, but the shingle CTE reads the per-md5
     # representatives and pairs carry exact-group sizes
     "q_hex_knn": _with_cells(
-        """SELECT url_a, url_b, knn_rank FROM (
+        """SELECT 'planar' AS variant, url_a, url_b, knn_rank FROM (
              SELECT a.url AS url_a, b.url AS url_b,
                     row_number() OVER (PARTITION BY a.url ORDER BY
                       (a.lat - b.lat) * (a.lat - b.lat)
@@ -522,7 +544,12 @@ ORACLES: dict[str, str] = {
              FROM hexc a CROSS JOIN ringd d
              JOIN hexc b ON a.cell + d.delta = b.cell
              WHERE a.url <> b.url
-           ) WHERE knn_rank <= 3""",
+           ) WHERE knn_rank <= 3
+           UNION ALL
+           SELECT variant, url_a, url_b, CAST(knn_rank AS INT) AS knn_rank
+           FROM read_parquet(
+             '/root/repo/tests/fixtures/goldens/q_hex_knn_stitched_*.parquet')
+           WHERE sf_key = (SELECT sum(n_chars) FROM documents)""",
         extra_ctes="""ax0 AS (SELECT url, lat, lon,
              (sqrt(3.0)/3.0 * lon - lat/3.0)/5.0 AS fq,
              (2.0/3.0*lat)/5.0 AS fr FROM cells),

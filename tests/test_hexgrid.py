@@ -292,3 +292,25 @@ def test_h3_kring_expand_spark(spark):
     for cell, ring in by_cell.items():
         assert cell in ring
         assert len(ring) == 7  # interior: self + 6 distinct neighbors
+
+
+def test_h3_knn_finds_cross_face_neighbors(spark):
+    """kNN through the stitched icosa ring yields genuine CROSS-FACE
+    neighbor pairs (the round-3 face-local gap, now a registered query
+    path), and ranks are a contiguous 1..k prefix per query point."""
+    import pyspark.sql.functions as F
+
+    from setsm_postprocessing_python_spark.functions.hexgrid import (
+        FACE_STRIDE, h3_knn)
+    from setsm_postprocessing_python_spark.sources.pages import geocoded_pages
+
+    out = h3_knn(geocoded_pages(spark, "/root/testdata/sf0.01"),
+                 k_neighbors=3, size=0.1).cache()
+    xface = out.where(
+        F.floor(F.col("cell_h3") / FACE_STRIDE)
+        != F.floor(F.col("nbr_h3") / FACE_STRIDE)).count()
+    assert xface > 0
+    ranks = out.groupBy("url_a").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx"))
+    assert ranks.where("n != mx").count() == 0
+    out.unpersist()
