@@ -108,16 +108,23 @@ def ann_dedup_topk(df: DataFrame, dim: int, k: int = 3,
     content. Output is at representative grain (vec_id = min id of each
     identical-vector group) with size_a/size_b attached — the searchable
     index entry plus its multiplicity, which is what a dedup-aware
-    retrieval pipeline stores. n_hint may be the RAW row count (parquet
-    footer); it upper-bounds the distinct count, over-sizing the plane
-    count by ~log2(n_raw / n_distinct) bits — harmless (smaller buckets,
-    strictly fewer candidates) and avoids a pre-count job."""
+    retrieval pipeline stores.
+
+    Sizing: planes_per_table is derived from the DISTINCT-group count,
+    not the raw row count — at high duplication a raw n_hint over-sizes
+    the plane count by ~log2(n_raw/n_distinct) bits, shrinking buckets
+    and costing recall headroom. The collapse groupBy is persisted, so
+    the distinct count is one cheap action over work the pipeline reuses
+    anyway (reps + both size joins read the same cached table); n_hint
+    is accepted for API symmetry but only seeds nothing here."""
     groups = (df.groupBy(vec_col)
                 .agg(F.min(F.col(id_col).cast("bigint")).alias("vec_id"),
-                     F.count(F.lit(1)).alias("group_size")))
+                     F.count(F.lit(1)).alias("group_size"))
+              .persist())
+    n_distinct = groups.count()
     reps = groups.select("vec_id", vec_col)
     topk = lsh_topk(reps, dim, k=k, id_col="vec_id", vec_col=vec_col,
-                    seed=seed, n_hint=n_hint)
+                    seed=seed, n_hint=n_distinct)
     sizes = groups.select("vec_id", "group_size")
     return (topk
             .join(sizes.withColumnRenamed("group_size", "size_a"), "vec_id")

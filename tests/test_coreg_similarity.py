@@ -223,9 +223,9 @@ def test_ann_dedup_collapse_semantics(spark):
                       "embedding"))
     got = {(r.vec_id, r.nbr_id, r.sim_rank, r.size_a, r.size_b)
            for r in ann_dedup_topk(dup, dim=64, k=3, n_hint=3 * n).collect()}
-    # n_hint on the raw path must match the collapsed query's sizing to
-    # compare like-for-like plane counts
+    # ann_dedup_topk sizes planes from the DISTINCT count (n, not 3n) —
+    # the raw path must be given the same n for like-for-like plane counts
     want = {(r.vec_id, r.nbr_id, r.sim_rank, 3, 3)
-            for r in lsh_topk(emb, dim=64, k=3, n_hint=3 * n).collect()}
+            for r in lsh_topk(emb, dim=64, k=3, n_hint=n).collect()}
     assert got == want
     assert len(got) > 0
