@@ -495,19 +495,26 @@ def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
         side_of = _host_parity
     if coreg is None:
         coreg = coregister_pairs(df, pair_of, side_of=side_of)
+    # trans is per-pair tiny but referenced THREE times (B-shift join,
+    # usable semi-join, broken anti-selection) — without the persist each
+    # reference re-runs the whole cogrouped fit (observed: 4 FlatMapCoGroups
+    # in the unpersisted physical plan)
     trans = coreg.select(
         pair_of(F.col("group_a")).alias("pair"),
         "dz", "dx", "dy", "rmse", "status",
         (F.col("status").isin("ok", "offset_capped")
-         & ~F.isnan("rmse") & (F.col("rmse") <= max_rmse)).alias("usable"))
+         & ~F.isnan("rmse") & (F.col("rmse") <= max_rmse)).alias("usable")
+    ).persist()
 
     base = (df.withColumn("z", F.expr(D.z_expr(D.SPARK)))
               .withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
               .withColumn("by", F.expr(D.block_y_expr(D.SPARK)))
               .withColumn("pair", pair_of(F.col("group_id"))))
+    # referenced by both sides (a and b) — persist so the full-table scan
+    # + groupBy runs once; rows are per (pair, block, side), already small
     agg = base.groupBy("pair", "bx", "by", side_of().alias("side")).agg(
         F.sum("z").alias("sz"), F.count(F.lit(1)).alias("n"),
-        F.expr("bit_or(flags)").alias("fl"))
+        F.expr("bit_or(flags)").alias("fl")).persist()
     a = agg.where("side = 0").select(
         "pair", "bx", "by", (F.col("sz") / F.col("n")).alias("za"),
         F.col("n").alias("na"), F.col("fl").alias("fla"))

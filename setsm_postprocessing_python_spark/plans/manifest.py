@@ -52,6 +52,11 @@ def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
     p = Path(manifest_dir)
     if not p.exists() or not any(p.glob("*.parquet")):
         return spark.createDataFrame([], MANIFEST_SCHEMA)
+    # the manifest may have been rewritten in place between runs of the
+    # same session (compaction, external repair, the resume tests' forged
+    # rewrites): drop Spark's cached file listing or the read fails with
+    # FAILED_READ_FILE.FILE_NOT_EXIST on the stale part files
+    spark.catalog.refreshByPath(manifest_dir)
     return spark.read.parquet(manifest_dir)
 
 

@@ -82,6 +82,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, workdir: str) -> list[dict]:
     # stage 5 (pass 2): strip assembly HOLDING the persisted translations —
     # the mosaic pass consumes readStripMeta_stats-style prior trans as
     # trans_guess and runs zero fits of its own
+    spark.catalog.refreshByPath(f"{out_dir}/coregister")  # may be rewritten
     coreg_prior = (spark.read.parquet(f"{out_dir}/coregister")
                    .select("group_a", "group_b", "n_points", "iters",
                            "dz", "dx", "dy", "rmse", "status"))
