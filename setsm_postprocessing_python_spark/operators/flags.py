@@ -72,7 +72,8 @@ NODATA_POLICIES = ("same", "add", "switch", "convert", "unset")
 
 
 def nodata_policy_stats(df: DataFrame, group: str = "group_id",
-                        z: str = "z", flags: str = "flags") -> DataFrame:
+                        z: str = "z", flags: str = "flags",
+                        include_census: bool = False) -> DataFrame:
     """The batch_mask nodata-option family (batch_mask.py:944-958) over
     the masked write path, evaluated for BOTH source cases (a source with
     a declared nodata sentinel and one without — the reference's
@@ -96,7 +97,12 @@ def nodata_policy_stats(df: DataFrame, group: str = "group_id",
     Plan shape: ONE scan + one groupBy computes five per-group partials;
     the 5x2 policy table is a broadcast cross join and every policy
     column is JVM CASE algebra over the partials — adding policies costs
-    nothing at scale."""
+    nothing at scale.
+
+    include_census: also emit the flagged-page census columns
+    (n_flagged, flags_merged, n_pages) on every row — they ride the SAME
+    groupBy (n_flagged IS the masked count, n_pages the row count), so a
+    caller that wants both never pays a second scan."""
     src_is_nod = F.col(z) < 10.0  # sentinel-carrying source cells (~10 %)
     masked_sel = F.col(flags) > 0
     per_group = df.groupBy(group).agg(
@@ -105,7 +111,8 @@ def nodata_policy_stats(df: DataFrame, group: str = "group_id",
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(~masked_sel & ~src_is_nod, F.col(z))
               .otherwise(0.0)).alias("s_src"),
-        F.sum(F.when(~masked_sel, F.col(z)).otherwise(0.0)).alias("s_ns"))
+        F.sum(F.when(~masked_sel, F.col(z)).otherwise(0.0)).alias("s_ns"),
+        F.expr(f"cast(bit_or({flags}) as int)").alias("_fm"))
     spark = df.sparkSession
     pol = spark.createDataFrame(
         [(p, s) for p in NODATA_POLICIES for s in (True, False)],
@@ -133,7 +140,12 @@ def nodata_policy_stats(df: DataFrame, group: str = "group_id",
                F.col("s_src") + F.col("a") * mv + F.col("b") * sv)
          .when(~src & p.isin("add", "switch", "convert"), F.col("s_ns"))
          .otherwise(F.col("s_ns") + F.col("a") * mv))      # ~src same/unset
-    return x.select(
-        F.col(group), "policy", "has_src_nodata", nodata_val.alias("nodata_val"),
-        n_nodata.cast("bigint").alias("n_nodata"),
-        F.round(sum_live, 6).alias("sum_live"))
+    cols = [F.col(group)]
+    if include_census:
+        cols += [F.col("a").cast("bigint").alias("n_flagged"),
+                 F.col("_fm").alias("flags_merged"),
+                 F.col("n").cast("bigint").alias("n_pages")]
+    cols += ["policy", "has_src_nodata", nodata_val.alias("nodata_val"),
+             n_nodata.cast("bigint").alias("n_nodata"),
+             F.round(sum_live, 6).alias("sum_live")]
+    return x.select(*cols)

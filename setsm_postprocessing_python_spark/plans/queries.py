@@ -96,14 +96,13 @@ def q_mask_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     same/add/switch/convert/unset."""
     df = OF.with_flags(P.pages(spark, sf_dir))
     df = OF.unset_bits(df, nowater=True)
-    census = df.groupBy("group_id").agg(
-        F.sum(F.when(F.col("flags") > 0, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
-        F.expr("cast(bit_or(flags) as int)").alias("flags_merged"),
-        F.count(F.lit(1)).alias("n_pages"),
-    )
-    policies = OF.nodata_policy_stats(
-        df.withColumn("z", F.expr(D.z_expr(D.SPARK))))
-    return census.join(policies, "group_id")
+    # census + policy family ride ONE groupBy (include_census): a single
+    # scan and a single shuffle carry both column families
+    out = OF.nodata_policy_stats(
+        df.withColumn("z", F.expr(D.z_expr(D.SPARK))), include_census=True)
+    return out.select("group_id", "n_flagged", "flags_merged", "n_pages",
+                      "policy", "has_src_nodata", "nodata_val", "n_nodata",
+                      "sum_live")
 
 
 def q_ring_density(spark: SparkSession, sf_dir: str) -> DataFrame:
