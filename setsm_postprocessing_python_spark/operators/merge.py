@@ -192,17 +192,25 @@ def _coregister(key, a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
     between two groups over their shared coarse blocks. Semantics per
     lib/scenes2strips.py:720-918: 3-sigma outlier gate around the median,
     LSQ on [1, x, y], <=5 iters, stop when RMSE stops improving by >1e-3,
-    fail -> median fallback; offset cap 15 -> 'failed' status."""
+    fail -> median fallback; offset cap 15 -> 'failed' status.
+
+    Input frames carry PER-BLOCK PARTIALS (zsum, n), not raw rows — the
+    map-side combine in coregister_pairs means the cogroup task receives
+    O(blocks) rows per pair no matter how many pages each block holds
+    (raw rows into the fit task was the wrong shape at 10^12 rows). The
+    per-block mean is zsum/n; the fit itself is deterministic given the
+    partials (frames sorted by block id)."""
     ga = a["group_id"].iloc[0] if len(a) else None
     gb = b["group_id_b"].iloc[0] if len(b) else None
     pair = key[0]
-    # deterministic accumulation order: Arrow delivers rows in partition
-    # order, which varies with upstream partitioning — sort so the float
-    # means are bit-identical across sessions (golden-oracle stability)
-    a = a.sort_values(["block", "z"], ignore_index=True)
-    b = b.sort_values(["block_b", "z_b"], ignore_index=True)
-    za = a.groupby("block").agg(z=("z", "mean"), x=("bx", "first"), y=("by", "first"))
-    zb = b.groupby("block_b").agg(z=("z_b", "mean"))
+    a = a.sort_values("block", ignore_index=True)
+    b = b.sort_values("block_b", ignore_index=True)
+    za = pd.DataFrame({
+        "z": a["zsum"].to_numpy() / a["n"].to_numpy(),
+        "x": a["bx"].to_numpy(dtype=float),
+        "y": a["by"].to_numpy(dtype=float)}, index=a["block"])
+    zb = pd.DataFrame({"z": b["zsum_b"].to_numpy() / b["n_b"].to_numpy()},
+                      index=b["block_b"])
     m = za.join(zb, how="inner", lsuffix="_a", rsuffix="_b")
     empty = pd.DataFrame([{
         "group_a": ga or pair, "group_b": gb or pair, "n_points": int(len(m)),
@@ -264,13 +272,21 @@ def coregister_pairs(df: DataFrame, pair_of,
     (default: host-number parity)."""
     if side_of is None:
         side_of = _host_parity
-    base = (df.withColumn("z", F.expr(D.z_expr(D.SPARK)))
+    rows = (df.withColumn("z", F.expr(D.z_expr(D.SPARK)))
               .withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
               .withColumn("by", F.expr(D.block_y_expr(D.SPARK)))
               .withColumn("block", F.expr(D.block_id_expr(D.SPARK)))
               .withColumn("pair", pair_of(F.col("group_id")))
               .withColumn("side", side_of())
               .select("pair", "side", "group_id", "z", "bx", "by", "block"))
+    # PER-BLOCK partials before the cogroup: the fit consumes block means,
+    # so the shuffle into the fit task carries one row per (pair, side,
+    # block) — map-side combine applies, and pair-task input is O(blocks)
+    # regardless of pages per block (the 10^12-row shape)
+    base = rows.groupBy("pair", "side", "block").agg(
+        F.min("group_id").alias("group_id"),
+        F.sum("z").alias("zsum"), F.count(F.lit(1)).alias("n"),
+        F.first("bx").alias("bx"), F.first("by").alias("by"))
     if guess is not None:
         held_pairs = guess.select(pair_of(F.col("group_a")).alias("pair")).distinct()
         base = base.join(F.broadcast(held_pairs), "pair", "left_anti")
@@ -283,7 +299,8 @@ def coregister_pairs(df: DataFrame, pair_of,
     side_b = (base.where("side = 1")
               .select(F.col("pair").alias("pair_b"),
                       F.col("group_id").alias("group_id_b"),
-                      F.col("z").alias("z_b"), F.col("block").alias("block_b")))
+                      F.col("zsum").alias("zsum_b"), F.col("n").alias("n_b"),
+                      F.col("block").alias("block_b")))
     fitted = (side_a.groupBy("pair")
               .cogroup(side_b.groupBy("pair_b"))
               .applyInPandas(_coregister, COREG_SCHEMA))

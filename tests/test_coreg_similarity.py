@@ -10,15 +10,18 @@ from setsm_postprocessing_python_spark.operators.merge import _coregister
 
 
 def _mk(group, blocks, z, bx, by, side="a"):
+    # the kernel consumes PER-BLOCK PARTIALS (zsum, n); these fixtures use
+    # one value per block, so zsum = z and n = 1
     if side == "a":
         return pd.DataFrame({
             "pair": ["p0"] * len(blocks), "group_id": [group] * len(blocks),
-            "z": z, "bx": bx, "by": by, "block": blocks,
+            "zsum": z, "n": [1] * len(blocks),
+            "bx": bx, "by": by, "block": blocks,
         })
     # right cogroup side carries renamed columns (see operators/merge.py)
     return pd.DataFrame({
         "pair": ["p0"] * len(blocks), "group_id_b": [group] * len(blocks),
-        "z_b": z, "block_b": blocks,
+        "zsum_b": z, "n_b": [1] * len(blocks), "block_b": blocks,
     })
 
 
