@@ -251,7 +251,11 @@ def q_strip_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Golden oracle (the coreg LSQ inside is non-SQL); the blend algebra is
     independently pinned against a numpy oracle in
     tests/test_strip_assembly.py."""
-    df = with_flags(P.geocoded_pages(spark, sf_dir))
+    # both variants consume the same projection; prune to the 5 needed
+    # columns (dropping text — the flags tokenization is the expensive
+    # part) and persist so the scan + flag derivation run once, not twice
+    df = (with_flags(P.geocoded_pages(spark, sf_dir))
+          .select("group_id", "url", "flags", "cell_x", "cell_y").persist())
     sup = M.strip_assemble(df, pair_of=lambda c: F.lit("all"),
                            max_rmse=STRIP_ASSEMBLY_RMSE)
     host = M.strip_assemble(df, max_rmse=STRIP_ASSEMBLY_RMSE)
