@@ -136,7 +136,16 @@ def headline_queries():
     }
 
 
+BENCH_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+
+
 def run_bench(parallelism: int, sf_dir: str) -> dict:
+    """Two passes over the stage list, per-stage MIN reported — the same
+    warmup+min protocol run_scaling uses: pass 1 absorbs codegen/UDF
+    init, and this host's documented transient contention windows
+    (identical code up to 13x between adjacent runs) poison at most one
+    pass's reading of a stage. `value` = the faster pass's end-to-end
+    wall-clock."""
     from setsm_postprocessing_python_spark.session import get_spark
 
     spark = get_spark(parallelism=parallelism, app_name=f"bench[{parallelism}]")
@@ -144,12 +153,16 @@ def run_bench(parallelism: int, sf_dir: str) -> dict:
     n_pages = spark.read.parquet(f"{bench_dir}/documents.parquet").count()
     qs = headline_queries()
     times: dict[str, float] = {}
-    t_all = time.time()
-    for name, fn in qs.items():
-        t = time.time()
-        materialize(fn(spark, bench_dir))
-        times[name] = round(time.time() - t, 3)
-    total = round(time.time() - t_all, 3)
+    totals = []
+    for _ in range(max(1, BENCH_PASSES)):
+        t_all = time.time()
+        for name, fn in qs.items():
+            t = time.time()
+            materialize(fn(spark, bench_dir))
+            dt = round(time.time() - t, 3)
+            times[name] = min(times.get(name, float("inf")), dt)
+        totals.append(round(time.time() - t_all, 3))
+    total = min(totals)
     spark.stop()
     result = {
         "metric": "tile-assign+spatial-join end-to-end wall-clock",
@@ -161,6 +174,8 @@ def run_bench(parallelism: int, sf_dir: str) -> dict:
         "pages": n_pages,
         "pages_per_sec": round(n_pages * len(qs) / total, 1),
         "bench_rev": BENCH_REV,
+        "passes": max(1, BENCH_PASSES),
+        "pass_totals": totals,
     }
     _record_history(result)
     return result
