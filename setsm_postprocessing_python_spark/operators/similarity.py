@@ -194,6 +194,30 @@ def _super_group_pair_cos(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(outs, ignore_index=True)
 
 
+def _super_group_topk(k: int):
+    """Super-group kernel with an IN-UDF partial top-k: after the
+    per-bucket pair cosines, keep each vec's k best candidates WITHIN the
+    group (dedup + lexsort by (vec, -cosine, nbr) — the same total order
+    the final window ranks by). The global top-k per vec is a subset of
+    the union of per-group top-ks (a pair's in-group rank among its vec's
+    candidates is <= its global rank), so the final result is identical —
+    but the shuffle out of the re-rank carries <= k rows per (vec, group)
+    instead of the full ~64*T-per-vec candidate stream. The pre-reduction
+    sort costs O(pairs log pairs) IN the task, where the pairs already
+    live; it replaces shuffling + distinct-ing them."""
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _super_group_pair_cos(pdf)
+        if not len(out):
+            return out
+        out = out.drop_duplicates(["vec_id", "nbr_id"])
+        order = np.lexsort((out["nbr_id"].to_numpy(),
+                            -out["cosine"].to_numpy(),
+                            out["vec_id"].to_numpy()))
+        out = out.iloc[order]
+        return out.groupby("vec_id", sort=False).head(k)
+    return fn
+
+
 def with_lsh_buckets(df: DataFrame, dim: int, n_tables: int = 8,
                      planes_per_table: int = 4, vec_col: str = "embedding",
                      seed: int = 42, probe_bits: int = 0,
@@ -357,7 +381,8 @@ def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
     the Iceberg snapshot summary at scale) to avoid the sizing count job;
     the count fallback prunes to the id column only."""
     j = lsh_candidate_cosines(df, dim, n_tables, planes_per_table, id_col,
-                              vec_col, seed, n_hint, probe_bits, rerank)
+                              vec_col, seed, n_hint, probe_bits, rerank,
+                              group_topk=k)
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
     return (j.withColumn("sim_rank", F.row_number().over(w))
              .where(F.col("sim_rank") <= k)
@@ -370,12 +395,19 @@ def lsh_candidate_cosines(df: DataFrame, dim: int, n_tables: int = 8,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           seed: int = 42, n_hint: int | None = None,
                           probe_bits: int = 2,
-                          rerank: str = "bucket") -> DataFrame:
+                          rerank: str = "bucket",
+                          group_topk: int | None = None) -> DataFrame:
     """The LSH candidate stream shared by lsh_topk (-> window top-k) and
     embedding_near_dup(method='lsh') (-> symmetric threshold filter):
     (vec_id, nbr_id, cosine) for every a-probe x b-home bucket collision,
     deduplicated across tables, cosine exact (float64 gather + einsum).
-    Directed: vec_id's probe buckets against nbr_id's home buckets."""
+    Directed: vec_id's probe buckets against nbr_id's home buckets.
+
+    group_topk (top-k callers only — NEVER the threshold path, which
+    needs EVERY above-threshold pair): keep each vec's k best candidates
+    per super group inside the re-rank UDF, shrinking the post-re-rank
+    shuffle from the full candidate stream to <= k rows per (vec, group);
+    result-identical for the final per-vec top-k (see _super_group_topk)."""
     n = n_hint
     if planes_per_table is None:
         import math
@@ -426,10 +458,12 @@ def lsh_candidate_cosines(df: DataFrame, dim: int, n_tables: int = 8,
             n_super = int(max(64, min(1 << 20, n_entries >> 16)))
         else:  # explicit planes, no n_hint: skip the sizing job entirely
             n_super = 4096
+        kernel = (_super_group_topk(group_topk) if group_topk
+                  else _super_group_pair_cos)
         j = (entries.withColumn(
                 "sg", F.pmod(F.xxhash64("bkt"), F.lit(n_super)))
              .groupBy("sg")
-             .applyInPandas(_super_group_pair_cos,
+             .applyInPandas(kernel,
                             "vec_id bigint, nbr_id bigint, cosine double")
              .distinct())
     else:
