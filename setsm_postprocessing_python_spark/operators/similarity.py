@@ -194,6 +194,22 @@ def _super_group_pair_cos(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(outs, ignore_index=True)
 
 
+def _cogroup_topk(k: int):
+    """Per-group kernel with the in-UDF partial top-k (IVF lists: one
+    group = one list, pairs already unique within it — no dedup needed;
+    cross-list duplicates fall to the downstream distinct)."""
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _cogroup_pair_cos(pdf)
+        if not len(out):
+            return out
+        order = np.lexsort((out["nbr_id"].to_numpy(),
+                            -out["cosine"].to_numpy(),
+                            out["vec_id"].to_numpy()))
+        out = out.iloc[order]
+        return out.groupby("vec_id", sort=False).head(k)
+    return fn
+
+
 def _super_group_topk(k: int):
     """Super-group kernel with an IN-UDF partial top-k: after the
     per-bucket pair cosines, keep each vec's k best candidates WITHIN the
@@ -332,7 +348,7 @@ def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_lists: int = 16,
         .alias("pos", "lst")).select(
         "vec_id", "v", "lst", (F.col("pos") == 0).alias("is_b"))
     j = (entries.groupBy("lst")
-         .applyInPandas(_cogroup_pair_cos,
+         .applyInPandas(_cogroup_topk(k),
                         "vec_id bigint, nbr_id bigint, cosine double")
          .distinct())
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
