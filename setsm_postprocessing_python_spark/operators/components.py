@@ -200,6 +200,74 @@ def clean_mask(cells: DataFrame, remove_pix: int, fill_pix: int,
                             fill_pix, max_iter, bbox_budget)
 
 
+def complement_hole_mask(occ, fill_pix: int | None):
+    """Hole mask of a dense boolean occupancy grid: run-length two-pass
+    union-find over the COMPLEMENT's row runs (8-adjacency: a run [s,e)
+    connects to a previous-row run [ps,pe) iff ps <= e and pe >= s —
+    half-open ends make the diagonal reach exactly 1). O(#runs) Python
+    work, all per-pixel operations vectorized.
+
+    fill_pix=None: complement components not touching the grid border
+    (interior holes). fill_pix=k: complement components smaller than k
+    cells, border-touching included. Unit-testable core of
+    fill_holes_grouped (hypothesis cross-check vs a BFS flood reference
+    in tests/test_components_skew.py)."""
+    import numpy as np
+
+    h, w = occ.shape
+    comp8 = (~occ).astype(np.int8)
+    parent: list[int] = []
+    run_len: list[int] = []
+    run_border: list[bool] = []
+    runs_by_row: list[list[tuple[int, int, int]]] = []
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    prev: list[tuple[int, int, int]] = []
+    for yy in range(h):
+        row = comp8[yy]
+        cur: list[tuple[int, int, int]] = []
+        if row.any():
+            d = np.diff(np.concatenate(([0], row, [0])))
+            starts = np.flatnonzero(d == 1)
+            ends = np.flatnonzero(d == -1)
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                li = len(parent)
+                parent.append(li)
+                run_len.append(e - s)
+                run_border.append(yy in (0, h - 1) or s == 0 or e == w)
+                for ps, pe, pl in prev:
+                    if ps <= e and pe >= s:
+                        ra, rb = find(pl), find(li)
+                        if ra != rb:
+                            if rb < ra:
+                                ra, rb = rb, ra
+                            parent[rb] = ra
+                cur.append((s, e, li))
+        runs_by_row.append(cur)
+        prev = cur
+    sizes: dict[int, int] = {}
+    border: set[int] = set()
+    for li in range(len(parent)):
+        r = find(li)
+        sizes[r] = sizes.get(r, 0) + run_len[li]
+        if run_border[li]:
+            border.add(r)
+    hole = np.zeros((h, w), dtype=bool)
+    for yy, runs in enumerate(runs_by_row):
+        for s, e, li in runs:
+            r = find(li)
+            filled = (sizes[r] < fill_pix if fill_pix is not None
+                      else r not in border)
+            if filled:
+                hole[yy, s:e] = True
+    return hole
+
+
 def fill_holes_grouped(df: DataFrame, group_col: str = "group_id",
                        fill_pix: int | None = None,
                        bbox_budget: int = FILL_BBOX_BUDGET) -> DataFrame:
@@ -237,61 +305,7 @@ def fill_holes_grouped(df: DataFrame, group_col: str = "group_id",
                 "was_hole": False, "fill_skipped": True})
         occ = np.zeros((h, w), dtype=bool)
         occ[ys - y0, xs - x0] = True
-        comp = ~occ
-        # Two-pass union-find over row RUNS of the complement (8-adjacency:
-        # a run [s,e) connects to a previous-row run [ps,pe) iff ps <= e and
-        # pe >= s — half-open ends make the diagonal reach exactly 1).
-        # Work is O(#runs), not O(pixels).
-        parent: list[int] = []
-        run_len: list[int] = []
-        run_border: list[bool] = []
-        runs_by_row: list[list[tuple[int, int, int]]] = []
-
-        def find(i: int) -> int:
-            while parent[i] != i:
-                parent[i] = parent[parent[i]]
-                i = parent[i]
-            return i
-
-        prev: list[tuple[int, int, int]] = []
-        comp8 = comp.astype(np.int8)
-        for yy in range(h):
-            row = comp8[yy]
-            cur: list[tuple[int, int, int]] = []
-            if row.any():
-                d = np.diff(np.concatenate(([0], row, [0])))
-                starts = np.flatnonzero(d == 1)
-                ends = np.flatnonzero(d == -1)
-                for s, e in zip(starts.tolist(), ends.tolist()):
-                    li = len(parent)
-                    parent.append(li)
-                    run_len.append(e - s)
-                    run_border.append(yy in (0, h - 1) or s == 0 or e == w)
-                    for ps, pe, pl in prev:
-                        if ps <= e and pe >= s:
-                            ra, rb = find(pl), find(li)
-                            if ra != rb:
-                                if rb < ra:
-                                    ra, rb = rb, ra
-                                parent[rb] = ra
-                    cur.append((s, e, li))
-            runs_by_row.append(cur)
-            prev = cur
-        sizes: dict[int, int] = {}
-        border: set[int] = set()
-        for li in range(len(parent)):
-            r = find(li)
-            sizes[r] = sizes.get(r, 0) + run_len[li]
-            if run_border[li]:
-                border.add(r)
-        hole = np.zeros((h, w), dtype=bool)
-        for yy, runs in enumerate(runs_by_row):
-            for s, e, li in runs:
-                r = find(li)
-                filled = (sizes[r] < fill_pix if fill_pix is not None
-                          else r not in border)
-                if filled:
-                    hole[yy, s:e] = True
+        hole = complement_hole_mask(occ, fill_pix)
         hy, hx = np.nonzero(hole)
         hole_cells = (hy + y0) * D.LON_CELL_STRIDE + (hx + x0)
         return pd.DataFrame({

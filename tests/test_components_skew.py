@@ -273,3 +273,62 @@ def test_fill_holes_grouped_bbox_budget_skips(spark):
     assert len(huge) == 2 and all(r.fill_skipped and not r.was_hole
                                   for r in huge)
     assert any(r.was_hole for r in ok) and not any(r.fill_skipped for r in ok)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _bfs_hole_reference(occ, fill_pix):
+    """Independent reference: BFS flood over the complement (8-conn)."""
+    import numpy as np
+
+    h, w = occ.shape
+    comp = ~occ
+    seen = np.zeros((h, w), dtype=bool)
+    hole = np.zeros((h, w), dtype=bool)
+    for sy in range(h):
+        for sx in range(w):
+            if not comp[sy, sx] or seen[sy, sx]:
+                continue
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            members = []
+            touches_border = False
+            while stack:
+                y, x = stack.pop()
+                members.append((y, x))
+                if y in (0, h - 1) or x in (0, w - 1):
+                    touches_border = True
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx = y + dy, x + dx
+                        if (0 <= ny < h and 0 <= nx < w and comp[ny, nx]
+                                and not seen[ny, nx]):
+                            seen[ny, nx] = True
+                            stack.append((ny, nx))
+            filled = (len(members) < fill_pix if fill_pix is not None
+                      else not touches_border)
+            if filled:
+                for y, x in members:
+                    hole[y, x] = True
+    return hole
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(2, 12), st.integers(2, 12), st.integers(0, 2 ** 32 - 1),
+       st.sampled_from([None, 2, 4, 9]))
+def test_complement_hole_mask_matches_bfs(h, w, seed, fill_pix):
+    """The run-length two-pass union-find == a from-scratch BFS flood on
+    random occupancy grids, for both the border-reachability (interior
+    holes) and size-capped modes."""
+    import numpy as np
+
+    from setsm_postprocessing_python_spark.operators.components import (
+        complement_hole_mask)
+
+    rng = np.random.default_rng(seed)
+    occ = rng.random((h, w)) < 0.55
+    got = complement_hole_mask(occ, fill_pix)
+    want = _bfs_hole_reference(occ, fill_pix)
+    assert (got == want).all()
