@@ -2,14 +2,19 @@
 
 Images/audio/video are carried as `binary` columns with a metadata struct.
 The Spark-side plumbing — schema, Arrow batching, mapInPandas signatures,
-partition sizing — is real and tested; the codec step is stubbed because
-image/audio libraries are not in this container:
+partition sizing — is real and tested, and the UNCOMPRESSED formats have
+REAL pure-numpy codecs (no external libraries):
 
-- decode_stub raises NotImplementedError when strict=True (the marked
-  integration point for PIL/ffmpeg at deploy time),
-- with strict=False it produces a deterministic fake decode (dimensions +
-  histogram derived from the bytes), so the downstream feature pipeline is
-  exercised end-to-end.
+- PPM (P6 binary RGB) — header parse + raw pixel frombuffer,
+- BMP (BITMAPINFOHEADER, 24-bit uncompressed) — bottom-up rows, 4-byte
+  row padding,
+- WAV (RIFF PCM 16-bit) — fmt/data chunk walk, little-endian samples.
+
+Compressed formats (JPEG/PNG/MP3/video) genuinely need PIL/ffmpeg, which
+are not in this container: with strict=True an unknown payload raises
+NotImplementedError (the marked deploy-time integration point); with
+strict=False it falls back to a deterministic fake decode so the
+downstream feature pipeline is exercised end-to-end either way.
 
 Batch shape notes for 100 TB: binary payloads dominate row size, so
 `spark.sql.files.maxPartitionBytes` should be sized for ~100-200 MB of
@@ -45,7 +50,8 @@ def attach_media(df: DataFrame, payload_col: str = "html") -> DataFrame:
 
 def _fake_decode(buf: bytes) -> tuple[int, int, str, np.ndarray]:
     """Deterministic fake decode: dims from byte length, feature = byte
-    histogram (16 bins, L1-normalized). Stands in for a real codec."""
+    histogram (16 bins, L1-normalized). Stands in for codecs that need
+    external libraries (JPEG/PNG/...)."""
     arr = np.frombuffer(buf, dtype=np.uint8)
     width = int(16 + (len(buf) % 241))
     height = int(16 + (len(buf) % 199))
@@ -54,25 +60,127 @@ def _fake_decode(buf: bytes) -> tuple[int, int, str, np.ndarray]:
     return width, height, "stub", (hist / total).astype(np.float32)
 
 
+def _hist_feature(values: np.ndarray) -> np.ndarray:
+    """16-bin L1-normalized histogram over byte-ranged values."""
+    hist, _ = np.histogram(values, bins=N_FEATURE_BINS, range=(0, 256))
+    total = max(int(hist.sum()), 1)
+    return (hist / total).astype(np.float32)
+
+
+def decode_ppm(buf: bytes):
+    """P6 binary PPM: ASCII header (magic, width, height, maxval;
+    '#' comments allowed), one whitespace, then raw RGB rows."""
+    if not buf.startswith(b"P6"):
+        return None
+    pos = 2
+    fields = []
+    while len(fields) < 3 and pos < len(buf):
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            while pos < len(buf) and buf[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        return None  # 16-bit PPM out of scope
+    px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, "ppm", _hist_feature(px)
+
+
+def decode_bmp(buf: bytes):
+    """BMP with BITMAPINFOHEADER, 24-bit uncompressed: pixel rows are
+    bottom-up and padded to 4 bytes."""
+    if not buf.startswith(b"BM") or len(buf) < 54:
+        return None
+    off = int.from_bytes(buf[10:14], "little")
+    hdr = int.from_bytes(buf[14:18], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if hdr < 40 or bpp != 24 or comp != 0:
+        return None
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    ah = abs(h)
+    for r in range(ah):
+        src = off + (ah - 1 - r if h > 0 else r) * stride
+        rows.append(np.frombuffer(buf, np.uint8, count=w * 3, offset=src))
+    px = np.concatenate(rows)
+    return w, ah, "bmp", _hist_feature(px)
+
+
+def decode_wav(buf: bytes):
+    """RIFF WAVE, PCM 16-bit: walk the chunk list to fmt/data. Returns
+    (n_samples, n_channels, 'wav-pcm16', histogram of samples scaled to
+    byte range)."""
+    if not (buf.startswith(b"RIFF") and buf[8:12] == b"WAVE"):
+        return None
+    pos = 12
+    n_ch = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        sz = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        body = buf[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            n_ch = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt_tag != 1 or bits != 16:
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if n_ch is None or data is None:
+        return None
+    samples = np.frombuffer(data, dtype="<i2")
+    scaled = ((samples.astype(np.int32) + 32768) >> 8).astype(np.uint8)
+    return len(samples) // n_ch, n_ch, "wav-pcm16", _hist_feature(scaled)
+
+
+def decode_media(buf: bytes):
+    """Sniff + decode the pure-numpy formats; None for anything needing
+    an external codec."""
+    for dec in (decode_ppm, decode_bmp, decode_wav):
+        out = dec(buf)
+        if out is not None:
+            return out
+    return None
+
+
 def decode_features(df: DataFrame, strict: bool = False,
                     batch_hint: int = 512) -> DataFrame:
     """mapInPandas decode/feature-extract over binary payloads.
 
-    strict=True: the real-codec integration point — raises
-    NotImplementedError (no image/audio libs in this container).
-    strict=False: deterministic fake decode; every downstream piece
-    (schema, batching, feature vectors) is production-shaped.
-    """
+    PPM/BMP/WAV decode for REAL (pure numpy, see module docstring); a
+    payload no built-in codec recognizes either raises (strict=True — the
+    PIL/ffmpeg deploy-time integration point for compressed formats) or
+    falls back to the deterministic fake decode (strict=False), so the
+    downstream schema/batching/feature plumbing is production-shaped on
+    any input."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; deploy-time "
-                    "integration point (see operators/multimodal.py)")
+            decoded = []
+            for b in pdf["payload"]:
+                d = decode_media(bytes(b))
+                if d is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "payload is not PPM/BMP/WAV-PCM16; compressed "
+                            "formats need PIL/ffmpeg — deploy-time "
+                            "integration point (operators/multimodal.py)")
+                    d = _fake_decode(bytes(b))
+                decoded.append(d)
             out = {"url": pdf["url"], "media_type": pdf["media_type"],
                    "n_bytes": pdf["n_bytes"]}
-            decoded = [_fake_decode(b) for b in pdf["payload"]]
             out["width"] = pd.Series([d[0] for d in decoded], dtype="int32")
             out["height"] = pd.Series([d[1] for d in decoded], dtype="int32")
             out["format"] = pd.Series([d[2] for d in decoded])
