@@ -39,11 +39,18 @@ N_FEATURE_BINS = 16
 
 
 def attach_media(df: DataFrame, payload_col: str = "html") -> DataFrame:
-    """Treat a binary column as an opaque media payload + typed metadata."""
+    """Treat a binary column as an opaque media payload + typed metadata.
+    media_type is sniffed JVM-side from the magic bytes (ASCII-safe cast
+    of the first two bytes — pure expression, stays in codegen)."""
+    magic = F.expr(f"cast(substring({payload_col}, 1, 2) as string)")
+    media_type = (F.when(magic == "P6", F.lit("image/ppm"))
+                   .when(magic == "BM", F.lit("image/bmp"))
+                   .when(magic == "RI", F.lit("audio/wav"))
+                   .otherwise(F.lit("application/octet-stream")))
     return df.select(
         "url",
         F.col(payload_col).alias("payload"),
-        F.lit("image/stub").alias("media_type"),
+        media_type.alias("media_type"),
         F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
     )
 
