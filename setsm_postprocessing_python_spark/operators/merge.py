@@ -183,7 +183,8 @@ def merge_order(df: DataFrame) -> DataFrame:
 # coregistration analogue (coregisterdems)
 # ---------------------------------------------------------------------------
 
-COREG_SCHEMA = ("group_a string, group_b string, n_points int, iters int, "
+COREG_SCHEMA = ("pair string, group_a string, group_b string, "
+                "n_points int, iters int, "
                 "dz double, dx double, dy double, rmse double, status string")
 
 
@@ -198,22 +199,28 @@ def _coregister(key, a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
     map-side combine in coregister_pairs means the cogroup task receives
     O(blocks) rows per pair no matter how many pages each block holds
     (raw rows into the fit task was the wrong shape at 10^12 rows). The
-    per-block mean is zsum/n; the fit itself is deterministic given the
-    partials (frames sorted by block id)."""
+    per-block mean is zsum/n; zsum arrives as EXACT decimal (order-
+    independent Spark sum — float partial sums merge in shuffle-fetch
+    order, which would wobble the means at the ulp and could flip the
+    3-sigma / RMSE-early-stop thresholds run-to-run), so the fit is
+    bit-deterministic given the input rows. Every output row carries the
+    cogroup KEY as `pair` — downstream never re-derives it from group
+    labels (a side-less pair would mis-key)."""
     ga = a["group_id"].iloc[0] if len(a) else None
     gb = b["group_id_b"].iloc[0] if len(b) else None
-    pair = key[0]
+    pair = str(key[0])
     a = a.sort_values("block", ignore_index=True)
     b = b.sort_values("block_b", ignore_index=True)
     za = pd.DataFrame({
-        "z": a["zsum"].to_numpy() / a["n"].to_numpy(),
+        "z": a["zsum"].astype("float64").to_numpy() / a["n"].to_numpy(),
         "x": a["bx"].to_numpy(dtype=float),
         "y": a["by"].to_numpy(dtype=float)}, index=a["block"])
-    zb = pd.DataFrame({"z": b["zsum_b"].to_numpy() / b["n_b"].to_numpy()},
+    zb = pd.DataFrame({"z": b["zsum_b"].astype("float64").to_numpy()
+                       / b["n_b"].to_numpy()},
                       index=b["block_b"])
     m = za.join(zb, how="inner", lsuffix="_a", rsuffix="_b")
     empty = pd.DataFrame([{
-        "group_a": ga or pair, "group_b": gb or pair, "n_points": int(len(m)),
+        "pair": pair, "group_a": ga, "group_b": gb, "n_points": int(len(m)),
         "iters": 0, "dz": np.nan, "dx": np.nan, "dy": np.nan,
         "rmse": np.nan, "status": "no_overlap"}])
     if len(m) < 10:  # >=10 regression points gate (lib/scenes2strips.py:823)
@@ -241,11 +248,13 @@ def _coregister(key, a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
     if max(abs(params[1]), abs(params[2])) > COREG_MAX_OFFSET:
         # max-offset fallback: median dz only (reference fallback behavior)
         return pd.DataFrame([{
-            "group_a": ga, "group_b": gb, "n_points": int(len(m)), "iters": iters,
+            "pair": pair, "group_a": ga, "group_b": gb,
+            "n_points": int(len(m)), "iters": iters,
             "dz": float(np.median(dz)), "dx": 0.0, "dy": 0.0,
             "rmse": best_rmse, "status": "offset_capped"}])
     return pd.DataFrame([{
-        "group_a": ga, "group_b": gb, "n_points": int(len(m)), "iters": iters,
+        "pair": pair, "group_a": ga, "group_b": gb,
+        "n_points": int(len(m)), "iters": iters,
         "dz": float(params[0]), "dx": float(params[1]), "dy": float(params[2]),
         "rmse": best_rmse, "status": "ok"}])
 
@@ -283,12 +292,18 @@ def coregister_pairs(df: DataFrame, pair_of,
     # so the shuffle into the fit task carries one row per (pair, side,
     # block) — map-side combine applies, and pair-task input is O(blocks)
     # regardless of pages per block (the 10^12-row shape)
+    # zsum as DECIMAL: exact, therefore order-independent across partial-
+    # sum merge order — the per-block means (and so the thresholded fit)
+    # are bit-deterministic run-to-run; 18 integer digits cannot overflow
+    # (z < 100, 10^16 rows per block), 12 fractional digits carry z to
+    # well past float53 noise
     base = rows.groupBy("pair", "side", "block").agg(
         F.min("group_id").alias("group_id"),
-        F.sum("z").alias("zsum"), F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("z").cast("decimal(30,12)")).alias("zsum"),
+        F.count(F.lit(1)).alias("n"),
         F.first("bx").alias("bx"), F.first("by").alias("by"))
     if guess is not None:
-        held_pairs = guess.select(pair_of(F.col("group_a")).alias("pair")).distinct()
+        held_pairs = guess.select("pair").distinct()
         base = base.join(F.broadcast(held_pairs), "pair", "left_anti")
     side_a = base.where("side = 0").drop("side")
     # NB: the right side's columns are renamed — with identical attribute
@@ -306,7 +321,7 @@ def coregister_pairs(df: DataFrame, pair_of,
               .applyInPandas(_coregister, COREG_SCHEMA))
     if guess is not None:
         fitted = fitted.unionByName(guess.select(
-            "group_a", "group_b", "n_points", "iters",
+            "pair", "group_a", "group_b", "n_points", "iters",
             "dz", "dx", "dy", "rmse", "status"))
     return fitted
 
@@ -463,6 +478,11 @@ def feather_blend(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 STRIP_MAX_COREG_RMSE = 1.0  # segment-break cutoff (scenes2strips max_coreg_rmse=1)
+# Cutoff scaled to the SYNTHETIC z field (md5-uniform [0,100): per-block
+# mean differences between sides carry ~30 RMSE of irreducible noise; the
+# reference default of 1 assumes metre-aligned DEMs). The cutoff is the
+# reference's own ARGSTR_RMSE_CUTOFF knob.
+SYNTHETIC_Z_MAX_RMSE = 50.0
 
 
 def _corners():
@@ -517,7 +537,7 @@ def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
     # reference re-runs the whole cogrouped fit (observed: 4 FlatMapCoGroups
     # in the unpersisted physical plan)
     trans = coreg.select(
-        pair_of(F.col("group_a")).alias("pair"),
+        "pair",
         "dz", "dx", "dy", "rmse", "status",
         (F.col("status").isin("ok", "offset_capped")
          & ~F.isnan("rmse") & (F.col("rmse") <= max_rmse)).alias("usable")
@@ -586,9 +606,14 @@ def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
     raw = (F.col("bx") - span0).cast("double") / \
         F.greatest((span1 - span0).cast("double"), F.lit(1.0))
     wgt = F.least(F.greatest((raw - 0.25) / (0.55 - 0.25), F.lit(0.0)), F.lit(1.0))
+    # block id packs with the FULL stride, not the 64 of block_id_expr:
+    # the fitted shift can push a target block to bx = -1, and with a
+    # 64 stride that aliases onto (bx=63, by-1) — the wide stride keeps
+    # every (bx, by) pair, negative included, on a unique id
     blended = j.select(
         "pair", "bx", "by",
-        (F.col("by") * 64 + F.col("bx")).cast("bigint").alias("block"),
+        (F.col("by") * D.LON_CELL_STRIDE + F.col("bx"))
+        .cast("bigint").alias("block"),
         F.when(both, F.lit("both")).when(in_a, F.lit("a_only"))
          .otherwise(F.lit("b_only")).alias("src"),
         F.when(both, wgt).alias("w"),
@@ -604,7 +629,8 @@ def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
     broken = a.join(F.broadcast(trans.where(F.expr("NOT usable"))
                                 .select("pair")), "pair").select(
         "pair", "bx", "by",
-        (F.col("by") * 64 + F.col("bx")).cast("bigint").alias("block"),
+        (F.col("by") * D.LON_CELL_STRIDE + F.col("bx"))
+        .cast("bigint").alias("block"),
         F.lit("a_only").alias("src"),
         F.lit(None).cast("double").alias("w"),
         F.col("za").alias("z_strip"),

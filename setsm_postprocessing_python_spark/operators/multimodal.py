@@ -43,9 +43,12 @@ def attach_media(df: DataFrame, payload_col: str = "html") -> DataFrame:
     media_type is sniffed JVM-side from the magic bytes (ASCII-safe cast
     of the first two bytes — pure expression, stays in codegen)."""
     magic = F.expr(f"cast(substring({payload_col}, 1, 2) as string)")
+    riff = F.expr(f"cast(substring({payload_col}, 1, 4) as string)")
+    wave = F.expr(f"cast(substring({payload_col}, 9, 4) as string)")
     media_type = (F.when(magic == "P6", F.lit("image/ppm"))
                    .when(magic == "BM", F.lit("image/bmp"))
-                   .when(magic == "RI", F.lit("audio/wav"))
+                   .when((riff == "RIFF") & (wave == "WAVE"),
+                         F.lit("audio/wav"))
                    .otherwise(F.lit("application/octet-stream")))
     return df.select(
         "url",
@@ -93,9 +96,11 @@ def decode_ppm(buf: bytes):
             pos += 1
         fields.append(int(buf[start:pos]))
     pos += 1  # the single whitespace after maxval
+    if len(fields) < 3:
+        return None
     w, h, maxval = fields
-    if maxval > 255:
-        return None  # 16-bit PPM out of scope
+    if maxval > 255 or w <= 0 or h <= 0 or len(buf) < pos + w * h * 3:
+        return None  # 16-bit / degenerate / truncated PPM out of scope
     px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
     return w, h, "ppm", _hist_feature(px)
 
@@ -111,9 +116,11 @@ def decode_bmp(buf: bytes):
     h = int.from_bytes(buf[22:26], "little", signed=True)
     bpp = int.from_bytes(buf[28:30], "little")
     comp = int.from_bytes(buf[30:34], "little")
-    if hdr < 40 or bpp != 24 or comp != 0:
+    if hdr < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
         return None
     stride = (w * 3 + 3) & ~3
+    if len(buf) < off + abs(h) * stride:
+        return None  # truncated pixel data
     rows = []
     ah = abs(h)
     for r in range(ah):
@@ -145,18 +152,23 @@ def decode_wav(buf: bytes):
         elif cid == b"data":
             data = body
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
-    if n_ch is None or data is None:
+    if not n_ch or data is None:
         return None
-    samples = np.frombuffer(data, dtype="<i2")
+    samples = np.frombuffer(data[:len(data) & ~1], dtype="<i2")
     scaled = ((samples.astype(np.int32) + 32768) >> 8).astype(np.uint8)
     return len(samples) // n_ch, n_ch, "wav-pcm16", _hist_feature(scaled)
 
 
 def decode_media(buf: bytes):
     """Sniff + decode the pure-numpy formats; None for anything needing
-    an external codec."""
+    an external codec OR for malformed/truncated payloads of a known
+    magic (a corrupt header must fall to the caller's strict/fake policy,
+    never crash the executor task)."""
     for dec in (decode_ppm, decode_bmp, decode_wav):
-        out = dec(buf)
+        try:
+            out = dec(buf)
+        except Exception:
+            out = None
         if out is not None:
             return out
     return None

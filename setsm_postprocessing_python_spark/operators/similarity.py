@@ -93,7 +93,7 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
 
 def ann_dedup_topk(df: DataFrame, dim: int, k: int = 3,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   seed: int = 42, n_hint: int | None = None) -> DataFrame:
+                   seed: int = 42) -> DataFrame:
     """The production ANN composition: EXACT-DUP PRE-COLLAPSE, then LSH
     top-k over the distinct vectors only, group sizes re-attached — the
     similarity analogue of dedup.near_dup_pipeline (reference analogue:
@@ -115,8 +115,7 @@ def ann_dedup_topk(df: DataFrame, dim: int, k: int = 3,
     the plane count by ~log2(n_raw/n_distinct) bits, shrinking buckets
     and costing recall headroom. The collapse groupBy is persisted, so
     the distinct count is one cheap action over work the pipeline reuses
-    anyway (reps + both size joins read the same cached table); n_hint
-    is accepted for API symmetry but only seeds nothing here."""
+    anyway (reps + both size joins read the same cached table)."""
     groups = (df.groupBy(vec_col)
                 .agg(F.min(F.col(id_col).cast("bigint")).alias("vec_id"),
                      F.count(F.lit(1)).alias("group_size"))

@@ -75,7 +75,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, workdir: str) -> list[dict]:
 
     def t_coreg(df):
         out = M.coregister_pairs(df.drop("unit"), M.host_pair)
-        return out.withColumn("unit", M.host_pair(F.col("group_a")))
+        return out.withColumn("unit", F.col("pair"))
     results.append(run_stage(spark, "coregister", paired, "pair",
                              t_coreg, out_dir, man_dir))
 
@@ -84,11 +84,15 @@ def run_pipeline(spark: SparkSession, sf_dir: str, workdir: str) -> list[dict]:
     # trans_guess and runs zero fits of its own
     spark.catalog.refreshByPath(f"{out_dir}/coregister")  # may be rewritten
     coreg_prior = (spark.read.parquet(f"{out_dir}/coregister")
-                   .select("group_a", "group_b", "n_points", "iters",
+                   .select("pair", "group_a", "group_b", "n_points", "iters",
                            "dz", "dx", "dy", "rmse", "status"))
 
     def t_strip(df):
-        out = M.strip_assemble(df.drop("unit"), coreg=coreg_prior)
+        # SYNTHETIC_Z_MAX_RMSE, not the reference metre default: with the
+        # md5 z field every fit carries ~30 RMSE of noise and cutoff 1
+        # would segment-break every pair, leaving the blend path dead
+        out = M.strip_assemble(df.drop("unit"), coreg=coreg_prior,
+                               max_rmse=M.SYNTHETIC_Z_MAX_RMSE)
         return out.withColumn("unit", F.col("pair"))
     results.append(run_stage(spark, "strip_assemble", paired, "pair",
                              t_strip, out_dir, man_dir))

@@ -184,7 +184,7 @@ def q_ann_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = [p] if p.is_file() else sorted(p.glob("*.parquet"))
     n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     emb = spark.read.parquet(str(p))
-    out = SIM.ann_dedup_topk(emb, dim=64, k=3, n_hint=n)
+    out = SIM.ann_dedup_topk(emb, dim=64, k=3)
     return out.select("vec_id", "nbr_id", F.round("cosine", 6).alias("cosine"),
                       "sim_rank", "size_a", "size_b")
 
@@ -230,11 +230,7 @@ def q_feather_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "n_pages", "flags_merged")
 
 
-STRIP_ASSEMBLY_RMSE = 50.0  # scaled to the synthetic z field: z is a
-# uniform-[0,100) md5 hash per page, so per-block mean differences between
-# sides carry ~30 RMSE of irreducible noise — the reference's default
-# max_coreg_rmse=1 assumes metre-aligned DEMs and would always segment-break
-# here (the cutoff is the reference's own ARGSTR_RMSE_CUTOFF knob)
+STRIP_ASSEMBLY_RMSE = M.SYNTHETIC_Z_MAX_RMSE  # see operators/merge.py
 
 
 def q_strip_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,12 +322,15 @@ def q_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the NEXT invocation, after the driver has consumed this one's
     result."""
     import hashlib
+    import os
     import shutil
     import tempfile
 
     from .pipeline import run_pipeline
 
-    tag = hashlib.md5(f"{id(spark)}:{sf_dir}".encode()).hexdigest()[:12]
+    # keyed by PID (not id(spark): heap addresses coincide across
+    # processes and a collision would rmtree another process's run)
+    tag = hashlib.md5(f"{os.getpid()}:{sf_dir}".encode()).hexdigest()[:12]
     workdir = f"{tempfile.gettempdir()}/spark_graft_pipe_{tag}"
     shutil.rmtree(workdir, ignore_errors=True)
     run_pipeline(spark, sf_dir, workdir)

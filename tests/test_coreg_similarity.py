@@ -225,9 +225,9 @@ def test_ann_dedup_collapse_semantics(spark):
               .select((F.col("vec_id") + F.col("rep") * n).alias("vec_id"),
                       "embedding"))
     got = {(r.vec_id, r.nbr_id, r.sim_rank, r.size_a, r.size_b)
-           for r in ann_dedup_topk(dup, dim=64, k=3, n_hint=3 * n).collect()}
-    # ann_dedup_topk sizes planes from the DISTINCT count (n, not 3n) —
-    # the raw path must be given the same n for like-for-like plane counts
+           for r in ann_dedup_topk(dup, dim=64, k=3).collect()}
+    # ann_dedup_topk sizes planes from the DISTINCT count (n) — the raw
+    # path must be given the same n for like-for-like plane counts
     want = {(r.vec_id, r.nbr_id, r.sim_rank, 3, 3)
             for r in lsh_topk(emb, dim=64, k=3, n_hint=n).collect()}
     assert got == want

@@ -92,7 +92,7 @@ def test_strip_pass2_holds_persisted_translations(spark, workdirs):
     # genuine fit had segment-broken (no re-fit happened)
     coreg = spark.read.parquet(f"{workdir}/out/coregister")
     forged = coreg.select(
-        "group_a", "group_b", "n_points", "iters",
+        "pair", "group_a", "group_b", "n_points", "iters",
         F.lit(0.0).alias("dz"), F.lit(0.0).alias("dx"), F.lit(0.0).alias("dy"),
         F.lit(0.0).alias("rmse"), F.lit("ok").alias("status"), "unit")
     forged.write.mode("overwrite").parquet(f"{workdir}/out/coregister_new")

@@ -134,7 +134,8 @@ def test_strip_assemble_matches_numpy_oracle(spark):
             for r in df.collect()]
     want = _numpy_oracle(rows, *TRANS)
     coreg = spark.createDataFrame(
-        [("host0", "host1", 16, 1, *TRANS, 0.5, "ok")], M.COREG_SCHEMA)
+        [("all", "host0", "host1", 16, 1, *TRANS, 0.5, "ok")],
+        M.COREG_SCHEMA)
     got = {(r.bx, r.by): r for r in M.strip_assemble(
         df, coreg=coreg, pair_of=lambda c: F.lit("all"),
         max_rmse=100.0).collect()}
@@ -177,7 +178,7 @@ def test_coregister_guess_holds_and_skips_refit(spark):
     fitted = M.coregister_pairs(df, pair_of).collect()
     assert len(fitted) == 1 and fitted[0].status == "ok"
     guess = spark.createDataFrame(
-        [("host0", "host1", 99, 1, 123.456, 0.0, 0.0, 0.5, "ok")],
+        [("all", "host0", "host1", 99, 1, 123.456, 0.0, 0.0, 0.5, "ok")],
         M.COREG_SCHEMA)
     held = M.coregister_pairs(df, pair_of, guess=guess).collect()
     assert len(held) == 1
@@ -197,7 +198,8 @@ def test_strip_assemble_blend_properties(spark):
     superset, n_pages additivity."""
     df = _mk_fixture(spark)
     coreg = spark.createDataFrame(
-        [("host0", "host1", 16, 1, *TRANS, 0.5, "ok")], M.COREG_SCHEMA)
+        [("all", "host0", "host1", 16, 1, *TRANS, 0.5, "ok")],
+        M.COREG_SCHEMA)
     out = M.strip_assemble(df, coreg=coreg, pair_of=lambda c: F.lit("all"),
                            max_rmse=100.0).collect()
     assert out
@@ -209,3 +211,28 @@ def test_strip_assemble_blend_properties(spark):
         assert r.matchtag in (True, False)
         assert r.n_pages >= 1 or (r.src == "b_only" and r.n_pages == 0)
         assert 0 <= r.flags_merged <= 7
+
+
+def test_coregister_deterministic_under_repartition(spark):
+    """Per-block zsum is an EXACT decimal sum, so the fit output is
+    bit-identical under any partitioning / shuffle merge order (float
+    partial sums would wobble the means at the ulp and could flip the
+    3-sigma or RMSE-early-stop thresholds)."""
+    rows = []
+    i = 0
+    for host, bxs in (("host0", range(0, 6)), ("host1", range(2, 8))):
+        for bx in bxs:
+            for by in range(4):
+                for rep in range(5):  # several pages per block
+                    url = f"https://{host}.example/p/{i}-{rep}"
+                    rows.append((url, host, i % 8, bx * BS + rep, by * BS))
+                    i += 1
+    df = spark.createDataFrame(
+        rows, "url string, group_id string, flags int, cell_x long, cell_y long")
+    pair_of = lambda c: F.lit("all")  # noqa: E731
+    base = [tuple(r) for r in M.coregister_pairs(df, pair_of).collect()]
+    rep13 = [tuple(r) for r in
+             M.coregister_pairs(df.repartition(13), pair_of).collect()]
+    rep1 = [tuple(r) for r in
+            M.coregister_pairs(df.coalesce(1), pair_of).collect()]
+    assert base == rep13 == rep1  # unrounded doubles compared exactly
