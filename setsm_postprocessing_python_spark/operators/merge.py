@@ -535,7 +535,9 @@ def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
     # trans is per-pair tiny but referenced THREE times (B-shift join,
     # usable semi-join, broken anti-selection) — without the persist each
     # reference re-runs the whole cogrouped fit (observed: 4 FlatMapCoGroups
-    # in the unpersisted physical plan)
+    # in the unpersisted physical plan). The caches cannot be unpersisted
+    # inside a lazy operator (the returned frame still needs them); they
+    # are small (per-pair / per-block rows) and LRU-evict — accepted.
     trans = coreg.select(
         "pair",
         "dz", "dx", "dy", "rmse", "status",
