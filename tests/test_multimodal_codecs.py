@@ -100,3 +100,28 @@ def test_spark_decode_real_and_strict(spark):
     # non-strict falls back to the deterministic fake
     fb = decode_features(attach_media(bad), strict=False).collect()[0]
     assert fb.format == "stub" and len(fb.feature) == 16
+
+
+def test_malformed_known_magic_falls_back_not_crashes():
+    """Truncated/corrupt payloads of a KNOWN magic must yield None from
+    decode_media (the caller's strict/fake policy decides) — never an
+    exception out of the decoder."""
+    from setsm_postprocessing_python_spark.operators.multimodal import (
+        _fake_decode)
+
+    ppm_full, _ = _ppm(6, 4)
+    bmp_full, _ = _bmp(6, 4)
+    wav_full, _ = _wav(50)
+    malformed = [
+        b"P6",                      # header alone
+        b"P6\nxx yy zz\n",          # non-numeric dims
+        ppm_full[:20],              # truncated pixels
+        b"BM" + b"\0" * 40,         # undersized header
+        bmp_full[:40],
+        b"RIFF\x04\x00\x00\x00WAVE",    # no fmt/data chunks
+        wav_full[:30],
+    ]
+    for buf in malformed:
+        assert decode_media(buf) is None, buf[:12]
+        w, h, fmt, feat = _fake_decode(buf)  # the strict=False fallback
+        assert fmt == "stub" and len(feat) == 16
