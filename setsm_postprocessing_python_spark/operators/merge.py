@@ -206,8 +206,11 @@ def _coregister(key, a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
     bit-deterministic given the input rows. Every output row carries the
     cogroup KEY as `pair` — downstream never re-derives it from group
     labels (a side-less pair would mis-key)."""
-    ga = a["group_id"].iloc[0] if len(a) else None
-    gb = b["group_id_b"].iloc[0] if len(b) else None
+    # min(), not iloc[0]: Arrow row-delivery order into the cogroup task is
+    # not deterministic for multi-group sides (the 'super' pairing), and the
+    # label must not wobble run-to-run
+    ga = a["group_id"].min() if len(a) else None
+    gb = b["group_id_b"].min() if len(b) else None
     pair = str(key[0])
     a = a.sort_values("block", ignore_index=True)
     b = b.sort_values("block_b", ignore_index=True)
@@ -495,7 +498,8 @@ def _corners():
 
 def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
                    max_rmse: float = STRIP_MAX_COREG_RMSE,
-                   pair_of=host_pair, side_of=None) -> DataFrame:
+                   pair_of=host_pair, side_of=None,
+                   track: list | None = None) -> DataFrame:
     """The full scenes2strips assembly (lib/scenes2strips.py:570-692),
     composed at the coarse-block grain:
 
@@ -526,24 +530,17 @@ def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
     shared-block fit gate is satisfiable at 500 rows — same rationale as
     the coarse kNN cells).
 
+    track: optional list — every DataFrame this operator persists is
+    appended, so bench/pipeline loops can unpersist deterministically
+    after materializing the result (the operator itself cannot: it is
+    lazy, and the returned frame still references the caches).
+
     Output: (pair, bx, by, block, src, w, z_strip, n_pages, matchtag,
     flags_merged, segment_break)."""
     if side_of is None:
         side_of = _host_parity
     if coreg is None:
         coreg = coregister_pairs(df, pair_of, side_of=side_of)
-    # trans is per-pair tiny but referenced THREE times (B-shift join,
-    # usable semi-join, broken anti-selection) — without the persist each
-    # reference re-runs the whole cogrouped fit (observed: 4 FlatMapCoGroups
-    # in the unpersisted physical plan). The caches cannot be unpersisted
-    # inside a lazy operator (the returned frame still needs them); they
-    # are small (per-pair / per-block rows) and LRU-evict — accepted.
-    trans = coreg.select(
-        "pair",
-        "dz", "dx", "dy", "rmse", "status",
-        (F.col("status").isin("ok", "offset_capped")
-         & ~F.isnan("rmse") & (F.col("rmse") <= max_rmse)).alias("usable")
-    ).persist()
 
     base = (df.withColumn("z", F.expr(D.z_expr(D.SPARK)))
               .withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
@@ -554,6 +551,38 @@ def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
     agg = base.groupBy("pair", "bx", "by", side_of().alias("side")).agg(
         F.sum("z").alias("sz"), F.count(F.lit(1)).alias("n"),
         F.expr("bit_or(flags)").alias("fl")).persist()
+
+    # trans is per-pair tiny but referenced THREE times (B-shift join,
+    # usable semi-join, broken anti-selection) — without the persist each
+    # reference re-runs the whole cogrouped fit (observed: 4 FlatMapCoGroups
+    # in the unpersisted physical plan). Caches are small (per-pair /
+    # per-block rows) and LRU-evict; pass `track` to reclaim eagerly.
+    #
+    # usable is coalesced to FALSE (NULL status/rmse from a malformed
+    # caller-supplied coreg table must not satisfy neither branch), and
+    # pairs present in df but ABSENT from coreg (e.g. a stale pass-1
+    # manifest while new pairs appear) are unioned in as 'missing_trans'
+    # segment-break rows — every df pair reaches exactly one output path;
+    # nothing is silently dropped.
+    trans_known = coreg.select(
+        "pair",
+        "dz", "dx", "dy", "rmse", "status",
+        F.coalesce(
+            F.col("status").isin("ok", "offset_capped")
+            & ~F.isnan("rmse") & (F.col("rmse") <= max_rmse),
+            F.lit(False)).alias("usable"))
+    missing = (agg.select("pair").distinct()
+               .join(trans_known.select("pair"), "pair", "left_anti")
+               .select("pair",
+                       F.lit(None).cast("double").alias("dz"),
+                       F.lit(None).cast("double").alias("dx"),
+                       F.lit(None).cast("double").alias("dy"),
+                       F.lit(None).cast("double").alias("rmse"),
+                       F.lit("missing_trans").alias("status"),
+                       F.lit(False).alias("usable")))
+    trans = trans_known.unionByName(missing).persist()
+    if track is not None:
+        track.extend([agg, trans])
     a = agg.where("side = 0").select(
         "pair", "bx", "by", (F.col("sz") / F.col("n")).alias("za"),
         F.col("n").alias("na"), F.col("fl").alias("fla"))

@@ -142,8 +142,14 @@ def decode_wav(buf: bytes):
     while pos + 8 <= len(buf):
         cid = buf[pos:pos + 4]
         sz = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        if pos + 8 + sz > len(buf):
+            # truncated chunk (declared size past EOF): same policy as the
+            # PPM/BMP decoders — None, never a silently-wrong sample count
+            return None
         body = buf[pos + 8:pos + 8 + sz]
         if cid == b"fmt ":
+            if sz < 16:
+                return None
             fmt_tag = int.from_bytes(body[0:2], "little")
             n_ch = int.from_bytes(body[2:4], "little")
             bits = int.from_bytes(body[14:16], "little")

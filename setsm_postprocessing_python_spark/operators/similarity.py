@@ -93,7 +93,7 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
 
 def ann_dedup_topk(df: DataFrame, dim: int, k: int = 3,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   seed: int = 42) -> DataFrame:
+                   seed: int = 42, track: list | None = None) -> DataFrame:
     """The production ANN composition: EXACT-DUP PRE-COLLAPSE, then LSH
     top-k over the distinct vectors only, group sizes re-attached — the
     similarity analogue of dedup.near_dup_pipeline (reference analogue:
@@ -120,6 +120,9 @@ def ann_dedup_topk(df: DataFrame, dim: int, k: int = 3,
                 .agg(F.min(F.col(id_col).cast("bigint")).alias("vec_id"),
                      F.count(F.lit(1)).alias("group_size"))
               .persist())
+    if track is not None:
+        # caller-owned cache lifetime: unpersist after materialization
+        track.append(groups)
     n_distinct = groups.count()
     reps = groups.select("vec_id", vec_col)
     topk = lsh_topk(reps, dim, k=k, id_col="vec_id", vec_col=vec_col,

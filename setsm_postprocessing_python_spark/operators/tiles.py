@@ -306,14 +306,17 @@ def adaptive_tiles(df: DataFrame, max_pages: int, max_depth: int = 12,
     assign_tiles_adaptive (the distributed join) instead."""
     leaf_ids = (adaptive_leaf_map(df, max_pages, max_depth, lat, lon)
                 .select("tile_id").distinct())
-    n_leaves = leaf_ids.count()
-    if n_leaves > leaf_budget:
+    # one action, not count()+collect(): limit(budget+1) both detects the
+    # over-budget case and avoids recomputing the full leaf aggregation
+    # twice (and never ships more than budget+1 ids to the driver)
+    got = leaf_ids.limit(leaf_budget + 1).collect()
+    if len(got) > leaf_budget:
         raise ValueError(
-            f"{n_leaves} adaptive leaves > budget {leaf_budget}: the "
+            f">{leaf_budget} adaptive leaves (budget {leaf_budget}): the "
             "driver-side Tile list would bottleneck; assign via "
             "assign_tiles_adaptive (distributed join) instead, or raise "
             "leaf_budget for a genuinely bounded tile table.")
-    occupied = sorted(r[0] for r in leaf_ids.collect())
+    occupied = sorted(r[0] for r in got)
     split_ids = {t[:lvl] for t in occupied for lvl in range(1, len(t))}
     out: list[Tile] = []
     frontier = [ROOT]

@@ -9,6 +9,8 @@ pure-numpy implementations in tests/.
 
 from __future__ import annotations
 
+import uuid
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -65,8 +67,16 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = df.select("doc_id", F.md5("text").alias("k"))
     uniq = (df.select(F.md5("text").alias("k"), "text")
               .dropDuplicates(["k"]))
-    uniq.createOrReplaceTempView("_fp_uniq")
-    fp = spark.sql(T.fingerprint_sql(D.SPARK, "_fp_uniq", id_col="k"))
+    # per-invocation view name, dropped as soon as spark.sql has analyzed
+    # the plan (resolution is eager; the resolved plan no longer needs the
+    # view) — two concurrent invocations on one session cannot race, and
+    # no session-global named state outlives query construction
+    vname = f"_fp_uniq_{uuid.uuid4().hex}"
+    uniq.createOrReplaceTempView(vname)
+    try:
+        fp = spark.sql(T.fingerprint_sql(D.SPARK, vname, id_col="k"))
+    finally:
+        spark.catalog.dropTempView(vname)
     sh = DD.simhash(uniq, id_col="k")
     return (keys.join(fp.join(sh, "k"), "k")
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),

@@ -236,3 +236,49 @@ def test_coregister_deterministic_under_repartition(spark):
     rep1 = [tuple(r) for r in
             M.coregister_pairs(df.coalesce(1), pair_of).collect()]
     assert base == rep13 == rep1  # unrounded doubles compared exactly
+
+
+def test_strip_assemble_unknown_or_null_trans_not_dropped(spark):
+    """Pairs absent from a caller-supplied coreg table (stale pass-1
+    manifest while new pairs appear), or carrying NULL status/rmse, must
+    take the segment-break path — NOT vanish from the output (the silent
+    data-loss failure mode: a row satisfying neither `usable` nor
+    `NOT usable` when the predicate is three-valued NULL)."""
+    df = _mk_fixture(spark)
+    pair_of = lambda c: F.lit("all")  # noqa: E731
+    n_a_blocks = df.where("group_id = 'host0'") \
+        .selectExpr("cell_x div 4096 as bx", "cell_y div 4096 as by") \
+        .distinct().count()
+
+    # (a) the pair is entirely missing from coreg
+    stale = spark.createDataFrame(
+        [("someotherpair", "hx", "hy", 16, 1, 0.0, 0.0, 0.0, 0.5, "ok")],
+        M.COREG_SCHEMA)
+    out = M.strip_assemble(df, coreg=stale, pair_of=pair_of).collect()
+    mine = [r for r in out if r.pair == "all"]
+    assert len(mine) == n_a_blocks
+    assert all(r.segment_break and r.src == "a_only" for r in mine)
+
+    # (b) the pair is present but status/rmse are NULL
+    nullrow = spark.createDataFrame(
+        [("all", None, None, None, None, None, None, None, None, None)],
+        M.COREG_SCHEMA)
+    out2 = M.strip_assemble(df, coreg=nullrow, pair_of=pair_of).collect()
+    assert len(out2) == n_a_blocks
+    assert all(r.segment_break and r.src == "a_only" for r in out2)
+
+
+def test_strip_assemble_track_unpersists(spark):
+    """The caller-owned cache-lifetime hook: every persisted intermediate
+    lands in `track`, and unpersisting them after materialization leaves
+    no cached tables behind."""
+    df = _mk_fixture(spark)
+    handles = []
+    out = M.strip_assemble(df, pair_of=lambda c: F.lit("all"),
+                           max_rmse=100.0, track=handles)
+    assert out.count() > 0
+    assert len(handles) == 2  # agg + trans
+    assert all(h.storageLevel.useMemory for h in handles)
+    for h in handles:
+        h.unpersist()
+    assert all(not h.storageLevel.useMemory for h in handles)
