@@ -72,16 +72,26 @@ def knn_join_blocked(df: DataFrame, k: int = 3, ring: int = 1,
     # exact ring re-check saves it — but the equi-join fans out toward
     # quadratic). Derived from the grid extent instead of a constant.
     stride = (D.LON_CELL_STRIDE >> block_shift) + 1
+    # if the input carries a materialized `block` column (the bucketed
+    # layout, sources/bucketed.py), the probe side joins on the STORED
+    # column: a table bucketed by `block` then reports
+    # HashPartitioning(block, N) from the scan and Catalyst drops the
+    # probe-side Exchange entirely (proven in test_plan_shapes.py). A
+    # query-time expression — even the identical formula — would not
+    # match the bucketing and the shuffle would silently come back.
+    have_block = "block" in df.columns
     sel = df.select(
         "url", "lat", "lon", "cell_x", "cell_y",
         F.shiftright("cell_x", block_shift).alias("bx"),
         F.shiftright("cell_y", block_shift).alias("by"),
+        *([F.col("block")] if have_block else []),
     )
     a = sel.select(
         F.col("url").alias("url_a"), F.col("lat").alias("lat_a"),
         F.col("lon").alias("lon_a"),
         F.col("cell_x").alias("xa"), F.col("cell_y").alias("ya"),
-        (F.col("by") * stride + F.col("bx")).alias("block"),
+        (F.col("block") if have_block
+         else (F.col("by") * stride + F.col("bx"))).alias("block"),
     )
     # build side: replicate to the <=4 blocks its ring can reach
     cand_blocks = F.array_distinct(F.array(*[

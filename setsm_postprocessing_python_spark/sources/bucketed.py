@@ -1,0 +1,81 @@
+"""Bucketed pages layout: the write-time co-partitioning that makes the
+engine's cell/block equi-joins shuffle-free.
+
+This is the engine's central 100 TB shuffle lever, the analogue of the
+reference's crop-to-overlap-before-compute (lib/scenes2strips.py:350-364):
+instead of cropping rasters to the shared subwindow before every kernel,
+the pages table is laid out ONCE so every spatial equi-join finds both
+sides already co-located.
+
+In production this is the Iceberg partition transform `bucket(N, block)`
+(plus days(warc_ts)); in the sandbox it is a Spark-native bucketed parquet
+table (`bucketBy(N, block)` + `saveAsTable`), which carries the same
+hash-partitioning contract: a scan of the table reports
+HashPartitioning(block, N), so Catalyst drops the Exchange on that side of
+any equi-join keyed on `block` (see tests/test_plan_shapes.py — the flat
+layout plans 2 Exchanges for the self-join, the bucketed layout 0).
+
+Two things must hold or the elimination silently does not fire:
+- the join key must be the STORED column, not a re-derived expression —
+  which is why `block` is materialized at write time and
+  knn_join_blocked uses the stored column when present;
+- the big-table side must actually plan a shuffle join (at 100 TB it
+  always does; in tiny-data tests broadcast must be pinned off, or the
+  planner rightly prefers broadcast and disables the bucketed scan).
+
+The write repartitions by the bucket key first so each bucket lands in
+ONE file per bucket — that keeps the scan's per-bucket ordering claim
+(sortBy) valid and the file count at N, not N x input-partitions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sql import dialect as D
+from .pages import geocoded_pages
+
+BLOCK_SHIFT = 6  # matches operators/knn.BLOCK_SHIFT (64x64-cell blocks)
+
+
+def block_expr(block_shift: int = BLOCK_SHIFT):
+    """The packed join-block id, identical to the expression
+    knn_join_blocked derives at query time (same stride, so a stored
+    `block` column and a query-time one agree bit-for-bit)."""
+    stride = (D.LON_CELL_STRIDE >> block_shift) + 1
+    return (F.shiftright("cell_y", block_shift) * stride
+            + F.shiftright("cell_x", block_shift))
+
+
+def blocked_pages(spark: SparkSession, sf_dir: str,
+                  block_shift: int = BLOCK_SHIFT) -> DataFrame:
+    """geocoded pages + the materialized `block` column (flat layout)."""
+    return geocoded_pages(spark, sf_dir).withColumn(
+        "block", block_expr(block_shift))
+
+
+def write_bucketed(spark: SparkSession, df: DataFrame, path: str,
+                   table: str, n_buckets: int = 8,
+                   key: str = "block") -> DataFrame:
+    """Write any frame bucketed (and sorted) by `key`, return the catalog
+    table. At 10^12 rows this is the once-per-ingest layout job whose cost
+    every downstream spatial join amortizes; n_buckets would be sized so
+    each bucket is a few hundred MB (here 8 matches the test session's
+    parallelism)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (df.repartition(n_buckets, F.col(key))
+       .write.mode("overwrite")
+       .bucketBy(n_buckets, key).sortBy(key)
+       .option("path", path).format("parquet")
+       .saveAsTable(table))
+    return spark.table(table)
+
+
+def write_bucketed_pages(spark: SparkSession, sf_dir: str, path: str,
+                         table: str = "pages_bucketed",
+                         n_buckets: int = 8,
+                         block_shift: int = BLOCK_SHIFT) -> DataFrame:
+    """The pages table in the bucketed layout (block at `block_shift`)."""
+    return write_bucketed(spark, blocked_pages(spark, sf_dir, block_shift),
+                          path, table, n_buckets)

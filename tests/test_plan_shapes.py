@@ -109,3 +109,97 @@ def test_adaptive_assign_join_path_matches_pip_and_guards(spark):
 
     with pytest.raises(ValueError, match="assign_tiles_adaptive"):
         adaptive_tiles(df, max_pages=1, max_depth=8, leaf_budget=10)
+
+
+def _self_join_on_block(d):
+    import pyspark.sql.functions as F
+
+    left = d.select(F.col("url").alias("ua"), "block")
+    right = d.select(F.col("url").alias("ub"), "block")
+    return left.join(right, "block").where("ua < ub")
+
+
+def _n_exchanges(plan: str) -> int:
+    """Distinct Exchange operators (formatted mode prints each node twice:
+    once in the tree, once in the details section)."""
+    import re
+
+    return len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Pin broadcast off: at 100 TB both join sides are far past any
+    broadcast threshold, so the tiny-data test must force the shuffle-join
+    plan the claim is about (with broadcast on, the planner rightly
+    prefers it and disables the bucketed scan as useless)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_layout_eliminates_cell_join_exchange(
+        spark, tmp_path, no_broadcast):
+    """THE central 100 TB claim (PLANS.md): writing pages bucketed by the
+    join block makes the spatial equi-join shuffle-free. The flat layout
+    plans an Exchange per side; the bucketed table's scan reports
+    HashPartitioning(block, N) and Catalyst plans ZERO Exchanges for the
+    same join, with identical results."""
+    from setsm_postprocessing_python_spark.sources import bucketed as B
+
+    # 4096-cell blocks (shift 12): coarse enough that sf0.001 pages share
+    # blocks, so the join is non-vacuous
+    flat = B.blocked_pages(spark, SF, block_shift=12)
+    tbl = B.write_bucketed(spark, flat, str(tmp_path / "bkt"),
+                           table="t_bkt_cell_join")
+    try:
+        bplan = _plan(spark, _self_join_on_block(tbl))
+        fplan = _plan(spark, _self_join_on_block(flat))
+        assert "Bucketed: true" in bplan
+        assert _n_exchanges(bplan) == 0
+        assert _n_exchanges(fplan) >= 2
+        assert (_self_join_on_block(tbl).count()
+                == _self_join_on_block(flat).count() > 0)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_cell_join")
+
+
+def test_bucketed_layout_drops_knn_probe_exchange(
+        spark, tmp_path, no_broadcast):
+    """knn_join_blocked over the bucketed layout: the probe side joins on
+    the STORED block column, so its Exchange disappears (only the
+    halo-replicated build side still moves — it must, its key is computed
+    by the ring expansion). Same rows as the flat layout."""
+    import pyspark.sql.functions as F
+
+    from setsm_postprocessing_python_spark.operators.knn import (
+        knn_join_blocked)
+    from setsm_postprocessing_python_spark.sources import bucketed as B
+    from setsm_postprocessing_python_spark.sources.pages import (
+        geocoded_pages)
+    from setsm_postprocessing_python_spark.sql import dialect as D
+
+    # the q_knn shape: coarse 5-degree kNN cells + shift-2 blocks, the
+    # grain at which ring-1 neighbors actually exist at this sf
+    flat = (geocoded_pages(spark, SF)
+            .withColumn("cell_x", F.expr(D.knn_cell_x_expr()))
+            .withColumn("cell_y", F.expr(D.knn_cell_y_expr()))
+            .withColumn("block", B.block_expr(block_shift=2)))
+    tbl = B.write_bucketed(spark, flat, str(tmp_path / "bkt"),
+                           table="t_bkt_knn")
+    try:
+        bres = knn_join_blocked(tbl, k=3, ring=1, block_shift=2)
+        fres = knn_join_blocked(flat.drop("block"), k=3, ring=1,
+                                block_shift=2)
+        bplan = _plan(spark, bres)
+        fplan = _plan(spark, fres)
+        assert "Bucketed: true" in bplan
+        # exactly one Exchange leaves the plan (the probe side's); the
+        # build-side and window exchanges are layout-independent
+        assert _n_exchanges(bplan) == _n_exchanges(fplan) - 1
+        assert (bres.orderBy("url_a", "rank").collect()
+                == fres.orderBy("url_a", "rank").collect())
+        assert bres.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_knn")
