@@ -219,11 +219,30 @@ def q_merge_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_coregister(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nuth-Kaab-style coregistration fit vs a LIVE closed-form SQL oracle
+    (golden retired in round 5). Two pairing grains in one output:
+    - 'host': the strip-pair grain (host2i vs host2i+1) — exercises the
+      no_overlap gate (<10 shared blocks at these sfs);
+    - 'super': even vs odd hosts as ONE pair — >=10 shared blocks, so the
+      3-sigma gate + LSQ fit + rmse genuinely run.
+
+    The oracle exploits the closed form of the fit: dz (the per-block
+    offset vector) is iteration-invariant in this operator (no resample
+    between iterations — the reference's per-iteration re-interpolation,
+    lib/scenes2strips.py:760-812, happens once at the block grain here),
+    so the 3-sigma gate and the [1,x,y] LSQ are the same every pass and
+    the loop provably exits at iters=2 with the first solution. One
+    normal-equations solve (3x3 Cramer) in SQL therefore reproduces the
+    numpy lstsq bit-for-bit at the rounded grain."""
     df = P.geocoded_pages(spark, sf_dir)
-    out = M.coregister_pairs(df, M.host_pair)
+    host = (M.coregister_pairs(df, M.host_pair)
+            .withColumn("grain", F.lit("host")))
+    sup = (M.coregister_pairs(df, lambda c: F.lit("all"))
+           .withColumn("grain", F.lit("super")))
+    out = host.unionByName(sup)
     # round the LSQ floats for stable cross-run hashing (inputs are sorted
     # deterministically inside the cogrouped UDF; rounding guards the ulp)
-    return out.select("group_a", "group_b", "n_points", "iters",
+    return out.select("grain", "group_a", "group_b", "n_points", "iters",
                       F.round("dz", 6).alias("dz"),
                       F.round("dx", 6).alias("dx"),
                       F.round("dy", 6).alias("dy"),
@@ -867,11 +886,117 @@ GOLDEN_COLS = {
                      "convex_area, is_concave, wkt"),
     "q_feather_field": "pair, block, w",
     "q_merge_order": "group_id, url, order_idx, segment_num, is_redundant",
-    "q_coregister": ("group_a, group_b, n_points, iters, dz, dx, dy, "
-                     "rmse, status"),
 }
 for _n, _c in GOLDEN_COLS.items():
     ORACLES[_n] = golden_oracle(_n, _c)
+
+
+# Live closed-form coregistration oracle (round 5 — golden retired).
+# The fit's dz vector is iteration-invariant (see q_coregister docstring),
+# so: ONE 3-sigma gate (median/stddev_pop over all shared-block offsets),
+# ONE normal-equations solve for [1,x,y] via 3x3 Cramer, ONE rmse — with
+# the loop's observable iters fixed at 2 (or 0/1 on the gate exits).
+# Block means divide an EXACT DECIMAL(30,12) sum, matching the engine's
+# order-independent partial-sum contract (operators/merge.py).
+_COREG_CTES = f"""
+    coreg_base AS (
+      SELECT group_id, {D.z_expr(_DD)} AS z,
+             {D.block_x_expr(_DD)} AS bx, {D.block_y_expr(_DD)} AS by,
+             {D.block_id_expr(_DD)} AS block,
+             CAST(substring(group_id, 5) AS INT) AS hostnum
+      FROM cells),
+    coreg_pts AS (
+      SELECT 'host' AS grain,
+             CAST(CAST(floor(hostnum / 2) AS BIGINT) AS VARCHAR) AS pair,
+             hostnum % 2 AS side, group_id, block, bx, by, z
+      FROM coreg_base
+      UNION ALL
+      SELECT 'super', 'all', hostnum % 2, group_id, block, bx, by, z
+      FROM coreg_base),
+    coreg_bm AS (
+      SELECT grain, pair, side, block, min(bx) AS bx, min(by) AS by,
+             min(group_id) AS gid,
+             CAST(sum(CAST(z AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS zm
+      FROM coreg_pts GROUP BY grain, pair, side, block),
+    coreg_pair AS (
+      SELECT grain, pair,
+             min(CASE WHEN side = 0 THEN gid END) AS group_a,
+             min(CASE WHEN side = 1 THEN gid END) AS group_b
+      FROM coreg_bm GROUP BY grain, pair),
+    coreg_m AS (
+      SELECT a.grain, a.pair, CAST(a.bx AS DOUBLE) AS x,
+             CAST(a.by AS DOUBLE) AS y, b.zm - a.zm AS dz
+      FROM (SELECT * FROM coreg_bm WHERE side = 0) a
+      JOIN (SELECT * FROM coreg_bm WHERE side = 1) b
+        ON a.grain = b.grain AND a.pair = b.pair AND a.block = b.block),
+    coreg_st AS (
+      SELECT grain, pair, count(*) AS n_points,
+             median(dz) AS med, stddev_pop(dz) AS sd
+      FROM coreg_m GROUP BY grain, pair),
+    coreg_kept AS (
+      SELECT m.* FROM coreg_m m JOIN coreg_st s
+        ON m.grain = s.grain AND m.pair = s.pair
+      WHERE abs(m.dz - s.med) <= 3 * s.sd + 1e-12),
+    coreg_ks AS (
+      SELECT grain, pair, CAST(count(*) AS DOUBLE) AS kn,
+             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+             sum(x*y) AS sxy, sum(y*y) AS syy,
+             sum(dz) AS sz, sum(x*dz) AS sxz, sum(y*dz) AS syz
+      FROM coreg_kept GROUP BY grain, pair),
+    coreg_sol AS (
+      SELECT grain, pair, kn,
+        (sz  * (sxx*syy - sxy*sxy) - sxz * (sx*syy - sy*sxy)
+             + syz * (sx*sxy - sy*sxx))
+        / (kn * (sxx*syy - sxy*sxy) - sx  * (sx*syy - sxy*sy)
+             + sy  * (sx*sxy - sxx*sy)) AS p0,
+        (kn * (sxz*syy - sxy*syz) - sz * (sx*syy - sxy*sy)
+             + sy * (sx*syz - sxz*sy))
+        / (kn * (sxx*syy - sxy*sxy) - sx * (sx*syy - sxy*sy)
+             + sy * (sx*sxy - sxx*sy)) AS p1,
+        (kn * (sxx*syz - sxz*sxy) - sx * (sx*syz - sxz*sy)
+             + sz * (sx*sxy - sxx*sy))
+        / (kn * (sxx*syy - sxy*sxy) - sx * (sx*syy - sxy*sy)
+             + sy * (sx*sxy - sxx*sy)) AS p2
+      FROM coreg_ks),
+    coreg_rmse AS (
+      SELECT k.grain, k.pair,
+             sqrt(avg((k.dz - (s.p0 + s.p1*k.x + s.p2*k.y))
+                    * (k.dz - (s.p0 + s.p1*k.x + s.p2*k.y)))) AS rmse
+      FROM coreg_kept k JOIN coreg_sol s
+        ON k.grain = s.grain AND k.pair = s.pair
+      GROUP BY k.grain, k.pair)"""
+
+ORACLES["q_coregister"] = _with_cells(
+    """SELECT p.grain, p.group_a, p.group_b,
+              CAST(coalesce(st.n_points, 0) AS INT) AS n_points,
+              CAST(CASE WHEN coalesce(st.n_points, 0) < 10 THEN 0
+                        WHEN ks.kn < 10 THEN 1 ELSE 2 END AS INT) AS iters,
+              round(CASE WHEN coalesce(st.n_points, 0) < 10
+                           OR ks.kn < 10 THEN CAST('NaN' AS DOUBLE)
+                         WHEN greatest(abs(s.p1), abs(s.p2)) > 15.0
+                           THEN st.med ELSE s.p0 END, 6) AS dz,
+              round(CASE WHEN coalesce(st.n_points, 0) < 10
+                           OR ks.kn < 10 THEN CAST('NaN' AS DOUBLE)
+                         WHEN greatest(abs(s.p1), abs(s.p2)) > 15.0
+                           THEN 0.0 ELSE s.p1 END, 6) AS dx,
+              round(CASE WHEN coalesce(st.n_points, 0) < 10
+                           OR ks.kn < 10 THEN CAST('NaN' AS DOUBLE)
+                         WHEN greatest(abs(s.p1), abs(s.p2)) > 15.0
+                           THEN 0.0 ELSE s.p2 END, 6) AS dy,
+              round(CASE WHEN coalesce(st.n_points, 0) < 10
+                           OR ks.kn < 10 THEN CAST('NaN' AS DOUBLE)
+                         ELSE r.rmse END, 6) AS rmse,
+              CASE WHEN coalesce(st.n_points, 0) < 10 THEN 'no_overlap'
+                   WHEN ks.kn < 10 THEN 'too_few_inliers'
+                   WHEN greatest(abs(s.p1), abs(s.p2)) > 15.0
+                     THEN 'offset_capped'
+                   ELSE 'ok' END AS status
+       FROM coreg_pair p
+       LEFT JOIN coreg_st st ON p.grain = st.grain AND p.pair = st.pair
+       LEFT JOIN coreg_ks ks ON p.grain = ks.grain AND p.pair = ks.pair
+       LEFT JOIN coreg_sol s ON p.grain = s.grain AND p.pair = s.pair
+       LEFT JOIN coreg_rmse r ON p.grain = r.grain AND p.pair = r.pair""",
+    extra_ctes=_COREG_CTES)
 
 
 QUERIES = {
