@@ -235,8 +235,15 @@ def adaptive_leaf_map(df: DataFrame, max_pages: int, max_depth: int = 12,
     big table), then per-level prefix rollups of that small key table, one
     explode+join+min-agg to pick each deep key's leaf level. No driver-side
     count folding — the old formulation collected every max-depth count and
-    folded subtree sums quadratically on the driver."""
-    keys = (df.select(F.expr(D.quadkey_expr(D.SPARK, lat, lon, max_depth))
+    folded subtree sums quadratically on the driver.
+
+    All internal keys are INT64-PACKED quadkey paths (2 bits/level,
+    sql/dialect.py:quadkey_int_expr): every shuffle row carries a fixed
+    8-byte key instead of a 13+-byte string, prefixing is a shiftright
+    instead of a substring, and only the output boundary re-renders the
+    string tile_id (base-4 conv + lpad — bit-identical to the string
+    pipeline, pinned by test_plan_shapes)."""
+    keys = (df.select(F.expr(D.quadkey_int_expr(lat, lon, max_depth))
                       .alias("qk"))
             .groupBy("qk").agg(F.count(F.lit(1)).alias("n")))
     # per-level counts: successive rollups of the (small) key table
@@ -244,16 +251,16 @@ def adaptive_leaf_map(df: DataFrame, max_pages: int, max_depth: int = 12,
                              F.col("qk").alias("pfx"), "n")
     cur = keys
     for lvl in range(max_depth - 1, -1, -1):
-        cur = (cur.groupBy(F.substring("qk", 1, lvl + 1).alias("qk"))
+        cur = (cur.groupBy(F.shiftright("qk", 2).alias("qk"))
                .agg(F.sum("n").alias("n")))
         lvl_counts = lvl_counts.unionByName(
             cur.select(F.lit(lvl).alias("lvl"), F.col("qk").alias("pfx"), "n"))
     # each deep key exploded to its prefix chain; leaf level = first level
     # whose count fits (NULL -> depth cap)
-    prefixes = F.transform(
-        F.sequence(F.lit(0), F.lit(max_depth)),
-        lambda i: F.struct(i.alias("lvl"),
-                           F.expr("qk").substr(F.lit(1), i + 1).alias("pfx")))
+    prefixes = F.array(*[
+        F.struct(F.lit(lvl).alias("lvl"),
+                 F.shiftright(F.col("qk"), 2 * (max_depth - lvl)).alias("pfx"))
+        for lvl in range(0, max_depth + 1)])
     kx = (keys.select("qk", F.explode(prefixes).alias("p"))
           .select("qk", F.col("p.lvl").alias("lvl"), F.col("p.pfx").alias("pfx")))
     leaf = (kx.join(lvl_counts, ["lvl", "pfx"])
@@ -263,7 +270,10 @@ def adaptive_leaf_map(df: DataFrame, max_pages: int, max_depth: int = 12,
     leaf = leaf.withColumn("leaf_lvl",
                            F.coalesce("leaf_lvl", F.lit(max_depth)))
     return leaf.select(
-        "qk", F.expr("substring(qk, 1, leaf_lvl + 1)").alias("tile_id"))
+        "qk",
+        F.expr(f"concat('q', lpad(conv(shiftright(qk, "
+               f"2 * ({max_depth} - leaf_lvl)), 10, 4), leaf_lvl, '0'))")
+        .alias("tile_id"))
 
 
 def assign_tiles_adaptive(df: DataFrame, max_pages: int, max_depth: int = 12,
@@ -279,8 +289,10 @@ def assign_tiles_adaptive(df: DataFrame, max_pages: int, max_depth: int = 12,
     driver and is guarded by a leaf budget)."""
     leaf = (adaptive_leaf_map(df, max_pages, max_depth, lat, lon)
             .withColumnRenamed("qk", "_qk"))
+    # join key is the packed int64 quadkey — 8 fixed bytes per row in the
+    # page-side exchange instead of a 13+-byte string
     with_qk = df.withColumn(
-        "_qk", F.expr(D.quadkey_expr(D.SPARK, lat, lon, max_depth)))
+        "_qk", F.expr(D.quadkey_int_expr(lat, lon, max_depth)))
     return with_qk.join(leaf, "_qk").drop("_qk")
 
 

@@ -163,6 +163,27 @@ def quadkey_expr(dialect: str, lat: str = "lat", lon: str = "lon",
     return "('q' || " + " || ".join(digits) + ")"
 
 
+def quadkey_int_expr(lat: str = "lat", lon: str = "lon",
+                     depth: int = TILE_DEPTH) -> str:
+    """The quadkey PATH packed into one int64: 2 bits per level, level-1
+    digit most significant (digit_l * 4^(depth-l)). Identical digit
+    arithmetic to quadkey_expr, so
+    concat('q', lpad(conv(qk, 10, 4), depth, '0')) reproduces the string
+    key exactly (pinned in tests). The shuffle currency of the adaptive
+    tiling: a depth-12 string key is 13+ bytes per row in every exchange;
+    the packed key is a fixed 8 — and prefix truncation becomes a
+    shiftright instead of a substring. Dialect-agnostic arithmetic."""
+    tx = f"(({lon} + 180.0) / 360.0)"
+    ty = f"(({lat} + 90.0) / 180.0)"
+    terms = []
+    for lvl in range(1, depth + 1):
+        scale = float(1 << lvl)
+        d = (f"((cast(floor({ty} * {scale}) as bigint) % 2) * 2"
+             f" + (cast(floor({tx} * {scale}) as bigint) % 2))")
+        terms.append(f"{d} * {4 ** (depth - lvl)}")
+    return "(" + " + ".join(terms) + ")"
+
+
 # ---------------------------------------------------------------------------
 # flags bit algebra (bitmask analogue, reference lib/filter_scene.py:39-48)
 # ---------------------------------------------------------------------------

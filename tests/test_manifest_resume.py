@@ -119,3 +119,76 @@ def test_ithresh_snapshot_replay(spark, tmp_path):
     direct = {(r.group_id, r.spread, r.stdev_thresh)
               for r in q_percentile_gate(spark, "/root/testdata/sf0.001").collect()}
     assert replayed == direct
+
+
+_PIPELINE_SCRIPT = """
+import sys
+sys.path.insert(0, "/root/repo")
+from setsm_postprocessing_python_spark.plans.pipeline import run_pipeline
+from setsm_postprocessing_python_spark.session import get_spark
+
+spark = get_spark(parallelism=4, app_name="chaos-pipeline",
+                  shuffle_partitions=4)
+run_pipeline(spark, "/root/testdata/sf0.001", sys.argv[1])
+spark.stop()
+"""
+
+_STAGES = ("geocode", "tile_assign", "merge_order", "coregister",
+           "strip_assemble", "tile_rollup")
+
+
+def _rounded(df):
+    import pyspark.sql.types as T
+
+    cols = [F.round(c, 6).alias(c)
+            if isinstance(df.schema[c].dataType, T.DoubleType) else F.col(c)
+            for c in sorted(df.columns)]
+    return df.select(cols)
+
+
+def test_pipeline_sigkill_midwrite_restart_converges(spark, tmp_path):
+    """Chaos resume: SIGKILL a subprocess pipeline run mid-stage (polled:
+    the instant stage 3's output dir appears — i.e. during or just after
+    its write), then restart and require the final state to be identical,
+    stage by stage, to an uninterrupted run in a separate workdir (the
+    --restart / --remove-incomplete semantics,
+    reference batch_scenes2strips.py:1190-1203). Partial files from the
+    killed write must never leak into results (Spark's _temporary staging
+    + dynamic partition overwrite + the manifest anti-join together
+    guarantee it — this test is the end-to-end proof)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    wd_chaos = str(tmp_path / "chaos")
+    wd_ref = str(tmp_path / "ref")
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _PIPELINE_SCRIPT, wd_chaos],
+        start_new_session=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    target = Path(wd_chaos) / "out" / "merge_order"
+    deadline = time.time() + 300
+    while time.time() < deadline and proc.poll() is None:
+        if target.exists():
+            break
+        time.sleep(0.05)
+    assert proc.poll() is None, \
+        "pipeline finished (or died) before the kill window — cannot chaos"
+    os.killpg(proc.pid, signal.SIGKILL)  # whole group: python AND the JVM
+    proc.wait()
+
+    for wd in (wd_chaos, wd_ref):  # restart the killed run; then reference
+        done = subprocess.run(
+            [sys.executable, "-c", _PIPELINE_SCRIPT, wd],
+            capture_output=True, text=True, timeout=580)
+        assert done.returncode == 0, done.stderr[-2000:]
+
+    for stage in _STAGES:
+        a = _rounded(spark.read.parquet(f"{wd_chaos}/out/{stage}"))
+        b = _rounded(spark.read.parquet(f"{wd_ref}/out/{stage}"))
+        assert a.count() == b.count() > 0, f"{stage}: row count differs"
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), \
+            f"{stage}: restarted output differs from uninterrupted run"

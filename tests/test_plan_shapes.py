@@ -203,3 +203,35 @@ def test_bucketed_layout_drops_knn_probe_exchange(
         assert bres.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_knn")
+
+
+def test_adaptive_quadkey_int_packing(spark):
+    """The int64-packed quadkey path: (a) packed->string re-rendering is
+    bit-identical to the string quadkey expression at every level on real
+    coordinates; (b) the adaptive-assignment join key is the packed
+    BIGINT (8 fixed bytes per shuffled row), not the 13+-byte string."""
+    import pyspark.sql.functions as F
+
+    from setsm_postprocessing_python_spark.operators.tiles import (
+        assign_tiles_adaptive)
+    from setsm_postprocessing_python_spark.sources.pages import geocoded_pages
+    from setsm_postprocessing_python_spark.sql import dialect as D
+
+    df = geocoded_pages(spark, SF)
+    depth = 12
+    both = df.select(
+        F.expr(D.quadkey_expr(D.SPARK, depth=depth)).alias("qs"),
+        F.expr(D.quadkey_int_expr(depth=depth)).alias("qi"))
+    for lvl in (0, 1, 5, depth):
+        mism = both.where(
+            F.expr(f"substring(qs, 1, {lvl} + 1) != concat('q', "
+                   f"lpad(conv(shiftright(qi, 2 * ({depth} - {lvl})), "
+                   f"10, 4), {lvl}, '0'))")).count()
+        assert mism == 0, f"level {lvl}: packed != string"
+
+    out = assign_tiles_adaptive(df, max_pages=50, max_depth=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"_qk#\d+(\w?)", plan)
+    assert m and m.group(1) == "L", f"join key not bigint in plan: {m}"
