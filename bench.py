@@ -45,7 +45,11 @@ def _sf_from_dir(d: str) -> float:
 # it keys the per-query history so only like-for-like runs are compared.
 AMP = int(os.environ.get("SPARK_GRAFT_AMP", "40"))
 EMB_AMP = int(os.environ.get("SPARK_GRAFT_EMB_AMP", "8"))
-BENCH_REV = os.environ.get("SPARK_GRAFT_BENCH_REV", "r4-amp40x8c")  # c: +strip_assembly stage
+BENCH_REV = os.environ.get(
+    "SPARK_GRAFT_BENCH_REV",
+    f"r5-amp{AMP}x{EMB_AMP}d")  # d: +strip_assembly_host stage; rev now
+                                # derives from AMP so scale probes at other
+                                # amplifications key their own history rows
 
 
 def amplified_dir(spark, sf_dir: str, amp: int, emb_amp: int) -> str:
@@ -101,6 +105,19 @@ def headline_queries():
 
         return knn_join_blocked(geocoded_pages(spark, sf_dir), k=3, ring=1)
 
+    def strip_host(spark, sf_dir):
+        # host-pair strip assembly at the grain that parallelizes across
+        # pairs (default pair_of=host_pair); rmse cutoff per the synthetic
+        # z noise floor (see operators/merge.py:SYNTHETIC_Z_MAX_RMSE)
+        from setsm_postprocessing_python_spark.operators import merge as M
+        from setsm_postprocessing_python_spark.operators.flags import (
+            with_flags)
+        from setsm_postprocessing_python_spark.sources.pages import (
+            geocoded_pages)
+
+        return M.strip_assemble(with_flags(geocoded_pages(spark, sf_dir)),
+                                max_rmse=M.SYNTHETIC_Z_MAX_RMSE)
+
     return {
         "tile_counts": Q.q_tile_counts,     # geocode + tile assign + rollup
         "tile_assign_pip": Q.q_tile_assign, # pandas-UDF PIP path
@@ -133,6 +150,16 @@ def headline_queries():
                                             # composition: coreg fit ->
                                             # fitted-shift resample ->
                                             # feather blend + OR/bit_or
+        "strip_assembly_host": strip_host,  # the SCALE grain: 25 host
+                                            # pairs, each with ~150 shared
+                                            # blocks on the amplified
+                                            # corpus — the fit/blend
+                                            # parallelizes ACROSS pairs
+                                            # (the registered query's
+                                            # 'super' grain exists for
+                                            # driver-scale oracle coverage
+                                            # and routes all rows into one
+                                            # cogroup pair)
     }
 
 
