@@ -430,8 +430,12 @@ def q_hex_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_feather_field(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-D feather weight field (cogrouped distance-BFS UDF; rows-only —
-    monotone-gradient semantics tested in tests/test_feather_field.py)."""
+    """2-D feather weight field (cogrouped distance-BFS UDF) vs a LIVE
+    SQL oracle (golden retired in round 5): the BFS runs on the fully
+    dense pair rectangle, so its chessboard distance equals the minimum
+    Chebyshev distance to the seed set — a plain min-join in SQL.
+    Monotone-gradient semantics additionally tested in
+    tests/test_feather_field.py."""
     fw = M.feather_weight_field(P.geocoded_pages(spark, sf_dir))
     return fw.select("pair", "block", F.round("w", 6).alias("w"))
 
@@ -884,11 +888,47 @@ GOLDEN_COLS = {
     "q_cell_indexes": "url, cell_s2, cell_hex, cell_h3, h3_ring_sum",
     "q_footprints": ("group_id, n_cells, n_vertices, hull_area, "
                      "convex_area, is_concave, wkt"),
-    "q_feather_field": "pair, block, w",
     "q_merge_order": "group_id, url, order_idx, segment_num, is_redundant",
 }
 for _n, _c in GOLDEN_COLS.items():
     ORACLES[_n] = golden_oracle(_n, _c)
+
+
+# Live feather-field oracle (round 5 — golden retired). The UDF's
+# chessboard BFS runs on the FULLY DENSE pair rectangle (no obstacles:
+# the frontier grows through empty cells too), so the BFS distance to the
+# A-only / B-only seed set is EXACTLY the minimum Chebyshev distance
+# max(|dx|,|dy|) over the seeds — a plain min-join, no recursion. The
+# rescale denominator is written (0.55 - 0.25), not 0.3, to reproduce the
+# engine's IEEE rounding of that subtraction bit-for-bit.
+ORACLES["q_feather_field"] = _with_cells(
+    """SELECT d.pair, d.by * 64 + d.bx AS block,
+              round(least(greatest((
+                  (CASE WHEN d.dA IS NULL OR d.dB IS NULL THEN 0.5
+                        ELSE CAST(d.dB AS DOUBLE) / (d.dA + d.dB) END)
+                  - 0.25) / (0.55 - 0.25), 0.0), 1.0), 6) AS w
+       FROM (
+         SELECT o.pair, o.bx, o.by,
+                (SELECT min(greatest(abs(o.bx - s.bx), abs(o.by - s.by)))
+                 FROM ff_aonly s WHERE s.pair = o.pair) AS dA,
+                (SELECT min(greatest(abs(o.bx - s.bx), abs(o.by - s.by)))
+                 FROM ff_bonly s WHERE s.pair = o.pair) AS dB
+         FROM ff_ov o) d""",
+    extra_ctes=f"""
+    ff_base AS (
+      SELECT DISTINCT
+        ('pair' || CAST(CAST(floor(CAST(substring(group_id, 5) AS INT) / 2)
+                        AS BIGINT) AS VARCHAR)) AS pair,
+        CAST(substring(group_id, 5) AS INT) % 2 AS side,
+        {D.block_x_expr(_DD)} AS bx, {D.block_y_expr(_DD)} AS by
+      FROM cells),
+    ff_a AS (SELECT DISTINCT pair, bx, by FROM ff_base WHERE side = 0),
+    ff_b AS (SELECT DISTINCT pair, bx, by FROM ff_base WHERE side = 1),
+    ff_ov AS (SELECT a.pair, a.bx, a.by
+              FROM ff_a a JOIN ff_b b
+                ON a.pair = b.pair AND a.bx = b.bx AND a.by = b.by),
+    ff_aonly AS (SELECT * FROM ff_a EXCEPT SELECT * FROM ff_ov),
+    ff_bonly AS (SELECT * FROM ff_b EXCEPT SELECT * FROM ff_ov)""")
 
 
 # Live closed-form coregistration oracle (round 5 — golden retired).
