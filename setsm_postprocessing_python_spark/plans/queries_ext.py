@@ -273,8 +273,12 @@ def q_strip_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'host': host{2i}/host{2i+1} pairs, which legitimately segment-break
       at driver scale (no pair shares 10 blocks) and hash-lock the
       segment-break path.
-    Golden oracle (the coreg LSQ inside is non-SQL); the blend algebra is
-    independently pinned against a numpy oracle in
+    LIVE SQL oracle (round 5 — golden retired): the coreg fit rides the
+    closed-form coreg_fin CTEs (see q_coregister) and the shift/blend is
+    re-derived in SQL on top — 4-corner bilinear scatter with the
+    weight-sum support gate (HAVING), nearest re-key, feather span window,
+    OR/bit_or combine, segment-break union. The blend algebra is
+    additionally pinned against a from-scratch numpy oracle in
     tests/test_strip_assembly.py."""
     # both variants consume the same projection; prune to the 5 needed
     # columns (dropping text — the flags tokenization is the expensive
@@ -883,8 +887,6 @@ for _n, _c in EMB_GOLDEN_COLS.items():
 
 
 GOLDEN_COLS = {
-    "q_strip_assembly": ("variant, pair, block, src, w, z_strip, n_pages, "
-                         "matchtag, flags_merged, segment_break"),
     "q_cell_indexes": "url, cell_s2, cell_hex, cell_h3, h3_ring_sum",
     "q_footprints": ("group_id, n_cells, n_vertices, hull_area, "
                      "convex_area, is_concave, wkt"),
@@ -943,15 +945,16 @@ _COREG_CTES = f"""
       SELECT group_id, {D.z_expr(_DD)} AS z,
              {D.block_x_expr(_DD)} AS bx, {D.block_y_expr(_DD)} AS by,
              {D.block_id_expr(_DD)} AS block,
+             {D.flags_expr(_DD)} AS flags,
              CAST(substring(group_id, 5) AS INT) AS hostnum
       FROM cells),
     coreg_pts AS (
       SELECT 'host' AS grain,
              CAST(CAST(floor(hostnum / 2) AS BIGINT) AS VARCHAR) AS pair,
-             hostnum % 2 AS side, group_id, block, bx, by, z
+             hostnum % 2 AS side, group_id, block, bx, by, z, flags
       FROM coreg_base
       UNION ALL
-      SELECT 'super', 'all', hostnum % 2, group_id, block, bx, by, z
+      SELECT 'super', 'all', hostnum % 2, group_id, block, bx, by, z, flags
       FROM coreg_base),
     coreg_bm AS (
       SELECT grain, pair, side, block, min(bx) AS bx, min(by) AS by,
@@ -1004,39 +1007,170 @@ _COREG_CTES = f"""
                     * (k.dz - (s.p0 + s.p1*k.x + s.p2*k.y)))) AS rmse
       FROM coreg_kept k JOIN coreg_sol s
         ON k.grain = s.grain AND k.pair = s.pair
-      GROUP BY k.grain, k.pair)"""
+      GROUP BY k.grain, k.pair),
+    coreg_fin AS (
+      SELECT p.grain, p.pair, p.group_a, p.group_b,
+             coalesce(st.n_points, 0) AS n_points,
+             CASE WHEN coalesce(st.n_points, 0) < 10 THEN 0
+                  WHEN ks.kn < 10 THEN 1 ELSE 2 END AS iters,
+             CASE WHEN coalesce(st.n_points, 0) < 10
+                    OR ks.kn < 10 THEN CAST('NaN' AS DOUBLE)
+                  WHEN greatest(abs(s.p1), abs(s.p2)) > 15.0
+                    THEN st.med ELSE s.p0 END AS dz,
+             CASE WHEN coalesce(st.n_points, 0) < 10
+                    OR ks.kn < 10 THEN CAST('NaN' AS DOUBLE)
+                  WHEN greatest(abs(s.p1), abs(s.p2)) > 15.0
+                    THEN 0.0 ELSE s.p1 END AS dx,
+             CASE WHEN coalesce(st.n_points, 0) < 10
+                    OR ks.kn < 10 THEN CAST('NaN' AS DOUBLE)
+                  WHEN greatest(abs(s.p1), abs(s.p2)) > 15.0
+                    THEN 0.0 ELSE s.p2 END AS dy,
+             CASE WHEN coalesce(st.n_points, 0) < 10
+                    OR ks.kn < 10 THEN CAST('NaN' AS DOUBLE)
+                  ELSE r.rmse END AS rmse,
+             CASE WHEN coalesce(st.n_points, 0) < 10 THEN 'no_overlap'
+                  WHEN ks.kn < 10 THEN 'too_few_inliers'
+                  WHEN greatest(abs(s.p1), abs(s.p2)) > 15.0
+                    THEN 'offset_capped'
+                  ELSE 'ok' END AS status
+      FROM coreg_pair p
+      LEFT JOIN coreg_st st ON p.grain = st.grain AND p.pair = st.pair
+      LEFT JOIN coreg_ks ks ON p.grain = ks.grain AND p.pair = ks.pair
+      LEFT JOIN coreg_sol s ON p.grain = s.grain AND p.pair = s.pair
+      LEFT JOIN coreg_rmse r ON p.grain = r.grain AND p.pair = r.pair)"""
 
 ORACLES["q_coregister"] = _with_cells(
-    """SELECT p.grain, p.group_a, p.group_b,
-              CAST(coalesce(st.n_points, 0) AS INT) AS n_points,
-              CAST(CASE WHEN coalesce(st.n_points, 0) < 10 THEN 0
-                        WHEN ks.kn < 10 THEN 1 ELSE 2 END AS INT) AS iters,
-              round(CASE WHEN coalesce(st.n_points, 0) < 10
-                           OR ks.kn < 10 THEN CAST('NaN' AS DOUBLE)
-                         WHEN greatest(abs(s.p1), abs(s.p2)) > 15.0
-                           THEN st.med ELSE s.p0 END, 6) AS dz,
-              round(CASE WHEN coalesce(st.n_points, 0) < 10
-                           OR ks.kn < 10 THEN CAST('NaN' AS DOUBLE)
-                         WHEN greatest(abs(s.p1), abs(s.p2)) > 15.0
-                           THEN 0.0 ELSE s.p1 END, 6) AS dx,
-              round(CASE WHEN coalesce(st.n_points, 0) < 10
-                           OR ks.kn < 10 THEN CAST('NaN' AS DOUBLE)
-                         WHEN greatest(abs(s.p1), abs(s.p2)) > 15.0
-                           THEN 0.0 ELSE s.p2 END, 6) AS dy,
-              round(CASE WHEN coalesce(st.n_points, 0) < 10
-                           OR ks.kn < 10 THEN CAST('NaN' AS DOUBLE)
-                         ELSE r.rmse END, 6) AS rmse,
-              CASE WHEN coalesce(st.n_points, 0) < 10 THEN 'no_overlap'
-                   WHEN ks.kn < 10 THEN 'too_few_inliers'
-                   WHEN greatest(abs(s.p1), abs(s.p2)) > 15.0
-                     THEN 'offset_capped'
-                   ELSE 'ok' END AS status
-       FROM coreg_pair p
-       LEFT JOIN coreg_st st ON p.grain = st.grain AND p.pair = st.pair
-       LEFT JOIN coreg_ks ks ON p.grain = ks.grain AND p.pair = ks.pair
-       LEFT JOIN coreg_sol s ON p.grain = s.grain AND p.pair = s.pair
-       LEFT JOIN coreg_rmse r ON p.grain = r.grain AND p.pair = r.pair""",
+    """SELECT grain, group_a, group_b, CAST(n_points AS INT) AS n_points,
+              CAST(iters AS INT) AS iters,
+              round(dz, 6) AS dz, round(dx, 6) AS dx, round(dy, 6) AS dy,
+              round(rmse, 6) AS rmse, status
+       FROM coreg_fin""",
     extra_ctes=_COREG_CTES)
+
+
+# Live strip-assembly oracle (round 5 — golden retired): the full
+# composition on top of coreg_fin. Mirrors operators/merge.strip_assemble
+# exactly: usable gate (rmse <= 50, the synthetic-z cutoff) -> side B
+# shifted by the FITTED translation (values: 4-corner bilinear scatter
+# with the weight-sum support gate; presence/flags: nearest re-key) ->
+# feather blend (x-span weight, the (0.55 - 0.25) IEEE form) + OR/bit_or;
+# un-coregisterable pairs ride through un-blended as segment breaks. The
+# blend means use plain DOUBLE sums (matching the engine's blend agg, NOT
+# the fit's decimal partials) — both engines' sum-order ulps sit far
+# inside the 1e-6 output rounding.
+_STRIP_CTES = _COREG_CTES + f""",
+    st_agg AS (
+      SELECT grain, pair, side, bx, by,
+             sum(z) AS sz, CAST(count(*) AS BIGINT) AS n,
+             bit_or(flags) AS fl
+      FROM coreg_pts GROUP BY grain, pair, side, bx, by),
+    st_a AS (SELECT grain, pair, bx, by, sz / n AS za, n AS na, fl AS fla
+             FROM st_agg WHERE side = 0),
+    st_b AS (SELECT grain, pair, bx, by, sz / n AS zb, n AS nb, fl AS flb
+             FROM st_agg WHERE side = 1),
+    st_trans AS (
+      SELECT grain, pair, dz, dx, dy,
+             coalesce(status IN ('ok', 'offset_capped')
+                      AND NOT isnan(rmse) AND rmse <= 50.0, FALSE) AS usable
+      FROM coreg_fin),
+    st_bt AS (
+      SELECT b.grain, b.pair, b.bx, b.by, b.zb, b.nb, b.flb,
+             t.dz, t.dx, t.dy
+      FROM st_b b JOIN st_trans t
+        ON b.grain = t.grain AND b.pair = t.pair AND t.usable),
+    st_scat AS (
+      SELECT grain, pair,
+             bx - CAST(floor(dx) AS BIGINT) - c.i AS tbx,
+             by - CAST(floor(dy) AS BIGINT) - c.j AS tby,
+             (CASE WHEN c.i = 0 THEN 1.0 - (dx - floor(dx))
+                   ELSE (dx - floor(dx)) END)
+             * (CASE WHEN c.j = 0 THEN 1.0 - (dy - floor(dy))
+                     ELSE (dy - floor(dy)) END) AS w4,
+             zb - dz AS zs
+      FROM st_bt CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(i, j)),
+    st_zi AS (
+      SELECT grain, pair, tbx AS bx, tby AS by, sum(w4 * zs) AS zi
+      FROM st_scat GROUP BY grain, pair, tbx, tby
+      HAVING sum(w4) >= 1.0 - 1e-9),
+    st_bn AS (
+      SELECT grain, pair,
+             bx - CAST(floor(dx + 0.5) AS BIGINT) AS bx,
+             by - CAST(floor(dy + 0.5) AS BIGINT) AS by, nb, flb
+      FROM st_bt),
+    st_bs AS (
+      SELECT coalesce(z.grain, n.grain) AS grain,
+             coalesce(z.pair, n.pair) AS pair,
+             coalesce(z.bx, n.bx) AS bx, coalesce(z.by, n.by) AS by,
+             z.zi, n.nb, n.flb
+      FROM st_zi z FULL JOIN st_bn n
+        ON z.grain = n.grain AND z.pair = n.pair
+       AND z.bx = n.bx AND z.by = n.by),
+    st_aok AS (
+      SELECT a.* FROM st_a a
+      WHERE EXISTS (SELECT 1 FROM st_trans t
+                    WHERE t.grain = a.grain AND t.pair = a.pair
+                      AND t.usable)),
+    st_j AS (
+      SELECT coalesce(a.grain, b.grain) AS grain,
+             coalesce(a.pair, b.pair) AS pair,
+             coalesce(a.bx, b.bx) AS bx, coalesce(a.by, b.by) AS by,
+             a.za, a.na, a.fla, b.zi, b.nb, b.flb,
+             (a.na IS NOT NULL AND b.zi IS NOT NULL) AS is_both,
+             (a.na IS NOT NULL) AS in_a
+      FROM st_aok a FULL JOIN st_bs b
+        ON a.grain = b.grain AND a.pair = b.pair
+       AND a.bx = b.bx AND a.by = b.by),
+    st_w AS (
+      SELECT *,
+             least(greatest((
+               (CAST(bx - min(CASE WHEN is_both THEN bx END)
+                       OVER (PARTITION BY grain, pair) AS DOUBLE)
+                / greatest(CAST(max(CASE WHEN is_both THEN bx END)
+                                  OVER (PARTITION BY grain, pair)
+                              - min(CASE WHEN is_both THEN bx END)
+                                  OVER (PARTITION BY grain, pair) AS DOUBLE),
+                           1.0))
+               - 0.25) / (0.55 - 0.25), 0.0), 1.0) AS wgt
+      FROM st_j),
+    st_blend AS (
+      SELECT grain, pair, bx, by,
+             CAST(by * {D.LON_CELL_STRIDE} + bx AS BIGINT) AS block,
+             CASE WHEN is_both THEN 'both'
+                  WHEN in_a THEN 'a_only' ELSE 'b_only' END AS src,
+             CASE WHEN is_both THEN wgt END AS w,
+             CASE WHEN is_both THEN wgt * za + (1.0 - wgt) * zi
+                  WHEN in_a THEN za ELSE zi END AS z_strip,
+             coalesce(na, 0) + coalesce(nb, 0) AS n_pages,
+             (in_a OR nb IS NOT NULL) AS matchtag,
+             CAST(coalesce(fla, 0) | coalesce(flb, 0) AS INT)
+               AS flags_merged,
+             FALSE AS segment_break
+      FROM st_w),
+    st_broken AS (
+      SELECT a.grain, a.pair, a.bx, a.by,
+             CAST(a.by * {D.LON_CELL_STRIDE} + a.bx AS BIGINT) AS block,
+             'a_only' AS src, CAST(NULL AS DOUBLE) AS w,
+             a.za AS z_strip, a.na AS n_pages, TRUE AS matchtag,
+             CAST(a.fla AS INT) AS flags_merged, TRUE AS segment_break
+      FROM st_a a JOIN st_trans t
+        ON a.grain = t.grain AND a.pair = t.pair AND NOT t.usable),
+    st_out AS (
+      SELECT grain, pair, block, src, w, z_strip, n_pages, matchtag,
+             flags_merged, segment_break FROM st_blend
+      UNION ALL
+      SELECT grain, pair, block, src, w, z_strip, n_pages, matchtag,
+             flags_merged, segment_break FROM st_broken)"""
+
+ORACLES["q_strip_assembly"] = _with_cells(
+    """SELECT CASE grain WHEN 'super' THEN 'super' ELSE 'host' END
+                AS variant,
+              CASE WHEN grain = 'host' THEN 'pair' || pair
+                   ELSE pair END AS pair,
+              block, src, round(w, 6) AS w, round(z_strip, 6) AS z_strip,
+              CAST(n_pages AS BIGINT) AS n_pages, matchtag, flags_merged,
+              segment_break
+       FROM st_out""",
+    extra_ctes=_STRIP_CTES)
 
 
 QUERIES = {
