@@ -539,7 +539,13 @@ def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
     flags_merged, segment_break)."""
     if side_of is None:
         side_of = _host_parity
-    if coreg is None:
+    # when the fit runs internally over the SAME df, the cogroup emits a
+    # row for every pair that has any page (either side), so the
+    # missing-pair safety union below is provably empty — skip its
+    # distinct+anti-join jobs; a CALLER-supplied coreg table (pass-2 hold,
+    # possibly stale) always goes through the full check
+    internal_fit = coreg is None
+    if internal_fit:
         coreg = coregister_pairs(df, pair_of, side_of=side_of)
 
     base = (df.withColumn("z", F.expr(D.z_expr(D.SPARK)))
@@ -571,16 +577,19 @@ def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
             F.col("status").isin("ok", "offset_capped")
             & ~F.isnan("rmse") & (F.col("rmse") <= max_rmse),
             F.lit(False)).alias("usable"))
-    missing = (agg.select("pair").distinct()
-               .join(trans_known.select("pair"), "pair", "left_anti")
-               .select("pair",
-                       F.lit(None).cast("double").alias("dz"),
-                       F.lit(None).cast("double").alias("dx"),
-                       F.lit(None).cast("double").alias("dy"),
-                       F.lit(None).cast("double").alias("rmse"),
-                       F.lit("missing_trans").alias("status"),
-                       F.lit(False).alias("usable")))
-    trans = trans_known.unionByName(missing).persist()
+    if internal_fit:
+        trans = trans_known.persist()
+    else:
+        missing = (agg.select("pair").distinct()
+                   .join(trans_known.select("pair"), "pair", "left_anti")
+                   .select("pair",
+                           F.lit(None).cast("double").alias("dz"),
+                           F.lit(None).cast("double").alias("dx"),
+                           F.lit(None).cast("double").alias("dy"),
+                           F.lit(None).cast("double").alias("rmse"),
+                           F.lit("missing_trans").alias("status"),
+                           F.lit(False).alias("usable")))
+        trans = trans_known.unionByName(missing).persist()
     if track is not None:
         track.extend([agg, trans])
     a = agg.where("side = 0").select(

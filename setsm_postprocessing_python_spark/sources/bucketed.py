@@ -26,6 +26,13 @@ Two things must hold or the elimination silently does not fire:
 The write repartitions by the bucket key first so each bucket lands in
 ONE file per bucket — that keeps the scan's per-bucket ordering claim
 (sortBy) valid and the file count at N, not N x input-partitions.
+
+Honest scope note: the ordering itself is NOT exploited by default —
+since Spark 3.0 FileSourceScanExec only reports bucket sort order under
+spark.sql.legacy.bucketedTableScan.outputOrdering=true, so the
+sort-merge join keeps its (in-partition, spill-free at this row width)
+Sorts. The eliminated Exchange is the scale lever; the residual Sort is
+local CPU, not network.
 """
 
 from __future__ import annotations
