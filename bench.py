@@ -188,6 +188,11 @@ def run_bench(parallelism: int, sf_dir: str) -> dict:
             materialize(fn(spark, bench_dir))
             dt = round(time.time() - t, 3)
             times[name] = min(times.get(name, float("inf")), dt)
+            # stages don't share caches ACROSS stages, but several persist
+            # intermediates internally (strip assembly's trans/agg, ANN's
+            # collapse) and each pass re-invokes the query fn, creating
+            # fresh entries — reclaim eagerly instead of leaning on LRU
+            spark.catalog.clearCache()
         totals.append(round(time.time() - t_all, 3))
     total = min(totals)
     spark.stop()

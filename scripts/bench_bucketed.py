@@ -32,13 +32,8 @@ from bench import AMP, BENCH_PASSES, CPUS, EMB_AMP, SF_DIR, amplified_dir, \
     materialize  # noqa: E402
 
 
-def _n_exchanges(spark, df) -> int:
-    import re
-
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"))
-    return len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+from setsm_postprocessing_python_spark.plans.planview import \
+    n_exchanges as _n_exchanges  # noqa: E402
 
 
 def main() -> int:
@@ -54,10 +49,11 @@ def main() -> int:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     bench_dir = amplified_dir(spark, SF_DIR, AMP, EMB_AMP)
 
+    table_name = "bench_pages_bucketed"
     flat = B.blocked_pages(spark, bench_dir)
     t0 = time.time()
     tbl = B.write_bucketed(spark, flat, "/tmp/bench_bucketed_pages",
-                           table="bench_pages_bucketed", n_buckets=32)
+                           table=table_name, n_buckets=32)
     layout_write_s = round(time.time() - t0, 3)
 
     def cell_join(d):
@@ -67,7 +63,9 @@ def main() -> int:
                 .groupBy("block").agg(F.count(F.lit(1)).alias("n_pairs")))
 
     def knn(d):
-        return knn_join_blocked(d, k=3, ring=1)
+        return knn_join_blocked(d, k=3, ring=1,
+                                use_stored_block=("block" in d.columns
+                                                  and d is tbl))
 
     stages = {"cell_join": cell_join, "knn": knn}
     layouts = {"flat": flat, "bucketed": tbl}
@@ -83,7 +81,7 @@ def main() -> int:
                                  round(time.time() - t, 3))
     for sname, fn in stages.items():
         for lname, d in layouts.items():
-            exchanges[f"{sname}_{lname}"] = _n_exchanges(spark, fn(d))
+            exchanges[f"{sname}_{lname}"] = _n_exchanges(fn(d))
     # sanity: identical results across layouts
     for sname, fn in stages.items():
         a = fn(flat)
@@ -107,32 +105,51 @@ def main() -> int:
     bdir.mkdir(exist_ok=True)
     with (bdir / "bucketed_layout.jsonl").open("a") as f:
         f.write(json.dumps({"ts": time.time(), **result}) + "\n")
+    # regenerate BUCKETED.md from the FULL history (latest record per
+    # amplification), so multi-scale runs accumulate instead of clobber
+    latest: dict[int, dict] = {}
+    for ln in (bdir / "bucketed_layout.jsonl").read_text().splitlines():
+        try:
+            r = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        latest[int(r.get("pages", 0))] = r  # key by corpus size
     md = [
         "# Bucketed layout A/B (flat parquet vs bucketBy(32, block))",
         "",
-        f"Corpus: {bench_dir} ({n_pages} pages); broadcast off; "
-        f"min over {BENCH_PASSES} passes; one-time layout write "
-        f"{layout_write_s}s.",
-        "",
-        "| stage | flat s | bucketed s | speedup | exchanges flat | "
-        "exchanges bucketed |",
-        "|---|---|---|---|---|---|",
+        "Broadcast pinned off (the 10^12-row regime); min over "
+        f"{BENCH_PASSES} passes; latest record per corpus scale "
+        "(raw history in bucketed_layout.jsonl). Plan shapes pinned by "
+        "tests/test_plan_shapes.py::test_bucketed_layout_*.",
     ]
-    for s in stages:
-        md.append(
-            f"| {s} | {times[f'{s}_flat']} | {times[f'{s}_bucketed']} | "
-            f"{result['speedup'][s]}x | {exchanges[f'{s}_flat']} | "
-            f"{exchanges[f'{s}_bucketed']} |")
+    for pages_key in sorted(latest):
+        r = latest[pages_key]
+        md += [
+            "",
+            f"## {r['pages']} pages (AMP={r['amp']}) — layout write "
+            f"{r['layout_write_s']}s one-time",
+            "",
+            "| stage | flat s | bucketed s | speedup | exchanges "
+            "flat→bucketed |",
+            "|---|---|---|---|---|",
+        ]
+        for st in ("cell_join", "knn"):
+            md.append(
+                f"| {st} | {r['times_s'][f'{st}_flat']} | "
+                f"{r['times_s'][f'{st}_bucketed']} | "
+                f"{r['speedup'][st]}x | {r['n_exchanges'][f'{st}_flat']} "
+                f"→ {r['n_exchanges'][f'{st}_bucketed']} |")
     md += [
         "",
-        "The pytest twin (test_plan_shapes.py::test_bucketed_layout_*) pins",
-        "the plan shape: zero Exchange on the bucketed cell join, one fewer",
-        "on the kNN probe side. At sandbox scale the absolute win is",
-        "bounded by how little data moves anyway; at 100 TB the eliminated",
-        "Exchange is the whole network phase of every spatial join.",
+        "The eliminated Exchange is the data-proportional network phase of",
+        "the join, so the speedup GROWS with corpus size while the one-time",
+        "layout write grows sub-linearly. Residual in-partition Sorts",
+        "remain by design (Spark 3+ ignores bucket sort order unless the",
+        "legacy scan-ordering flag is set); they are local CPU, not",
+        "network.",
     ]
     (bdir / "BUCKETED.md").write_text("\n".join(md) + "\n")
-    spark.sql("DROP TABLE IF EXISTS bench_pages_bucketed")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     spark.stop()
     return 0
 

@@ -53,7 +53,8 @@ BLOCK_SHIFT = 6  # 64x64-cell join blocks for the halo strategy
 
 
 def knn_join_blocked(df: DataFrame, k: int = 3, ring: int = 1,
-                     block_shift: int = BLOCK_SHIFT) -> DataFrame:
+                     block_shift: int = BLOCK_SHIFT,
+                     use_stored_block: bool = False) -> DataFrame:
     """Scale path: identical semantics to knn_join, but the join key is a
     64x64-cell block and only pages within `ring` cells of a block edge are
     duplicated into the adjacent block (halo duplication — the engine
@@ -72,14 +73,22 @@ def knn_join_blocked(df: DataFrame, k: int = 3, ring: int = 1,
     # exact ring re-check saves it — but the equi-join fans out toward
     # quadratic). Derived from the grid extent instead of a constant.
     stride = (D.LON_CELL_STRIDE >> block_shift) + 1
-    # if the input carries a materialized `block` column (the bucketed
-    # layout, sources/bucketed.py), the probe side joins on the STORED
-    # column: a table bucketed by `block` then reports
+    # use_stored_block=True: the probe side joins on the caller's
+    # materialized `block` column (the bucketed layout,
+    # sources/bucketed.py) — a table bucketed by `block` then reports
     # HashPartitioning(block, N) from the scan and Catalyst drops the
     # probe-side Exchange entirely (proven in test_plan_shapes.py). A
     # query-time expression — even the identical formula — would not
     # match the bucketing and the shuffle would silently come back.
-    have_block = "block" in df.columns
+    # EXPLICIT opt-in, not auto-detection on column presence: the caller
+    # asserts the stored column was materialized at THIS block_shift on
+    # THIS cell grid (block_expr) — a mismatched grain (e.g. the
+    # merge-module by*64+bx blocks, or a different shift) would produce a
+    # disjoint key space and silently empty/missing neighbors.
+    have_block = use_stored_block
+    if have_block and "block" not in df.columns:
+        raise ValueError("use_stored_block=True but df has no `block` "
+                         "column (see sources/bucketed.block_expr)")
     sel = df.select(
         "url", "lat", "lon", "cell_x", "cell_y",
         F.shiftright("cell_x", block_shift).alias("bx"),

@@ -568,8 +568,13 @@ def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
     # caller-supplied coreg table must not satisfy neither branch), and
     # pairs present in df but ABSENT from coreg (e.g. a stale pass-1
     # manifest while new pairs appear) are unioned in as 'missing_trans'
-    # segment-break rows — every df pair reaches exactly one output path;
-    # nothing is silently dropped.
+    # segment-break rows — every pair WITH MOSAIC-SIDE ROWS reaches
+    # exactly one output path. The deliberate exception: a broken pair's
+    # INCOMING side (and a pair that has only incoming-side rows) emits
+    # nothing — the reference's scene-not-merged semantics
+    # (lib/scenes2strips.py:557-568): an un-coregisterable scene is
+    # excluded from this strip and stays in the input table to seed the
+    # next segment's run; it is not part of this assembly's output.
     trans_known = coreg.select(
         "pair",
         "dz", "dx", "dy", "rmse", "status",

@@ -940,6 +940,14 @@ ORACLES["q_feather_field"] = _with_cells(
 # the loop's observable iters fixed at 2 (or 0/1 on the gate exits).
 # Block means divide an EXACT DECIMAL(30,12) sum, matching the engine's
 # order-independent partial-sum contract (operators/merge.py).
+#
+# Domain note: Cramer assumes the normal matrix is non-singular. If every
+# kept block were COLLINEAR (all bx or all by equal — a 1-block-tall
+# overlap), det = 0 exactly: the engine's lstsq returns the min-norm
+# solution (not SQL-expressible) while this divides by zero, and the
+# driver compare would fail LOUDLY on correct engine output. Geometrically
+# impossible on the hash-scattered test corpora (>=10 blocks spanning a
+# 2-D extent) and a visible-not-silent failure mode if data ever changes.
 _COREG_CTES = f"""
     coreg_base AS (
       SELECT group_id, {D.z_expr(_DD)} AS z,

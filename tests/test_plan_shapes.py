@@ -10,8 +10,10 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, df) -> str:
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    from setsm_postprocessing_python_spark.plans.planview import (
+        formatted_plan)
+
+    return formatted_plan(df)
 
 
 def test_tile_counts_prunes_to_doc_id(spark):
@@ -120,11 +122,9 @@ def _self_join_on_block(d):
 
 
 def _n_exchanges(plan: str) -> int:
-    """Distinct Exchange operators (formatted mode prints each node twice:
-    once in the tree, once in the details section)."""
-    import re
+    from setsm_postprocessing_python_spark.plans.planview import n_exchanges
 
-    return len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    return n_exchanges(plan)
 
 
 @pytest.fixture()
@@ -189,7 +189,8 @@ def test_bucketed_layout_drops_knn_probe_exchange(
     tbl = B.write_bucketed(spark, flat, str(tmp_path / "bkt"),
                            table="t_bkt_knn")
     try:
-        bres = knn_join_blocked(tbl, k=3, ring=1, block_shift=2)
+        bres = knn_join_blocked(tbl, k=3, ring=1, block_shift=2,
+                                use_stored_block=True)
         fres = knn_join_blocked(flat.drop("block"), k=3, ring=1,
                                 block_shift=2)
         bplan = _plan(spark, bres)

@@ -282,3 +282,20 @@ def test_strip_assemble_track_unpersists(spark):
     for h in handles:
         h.unpersist()
     assert all(not h.storageLevel.useMemory for h in handles)
+
+
+def test_strip_assemble_broken_pair_incoming_side_excluded(spark):
+    """Scene-not-merged semantics, pinned: a broken pair's INCOMING (B)
+    side emits nothing — it is excluded from this strip and remains in
+    the input table for the next segment's run (the deliberate exception
+    to the every-pair-reaches-an-output-path rule; see the operator
+    comment and lib/scenes2strips.py:557-568 semantics)."""
+    rows = []
+    for bx in range(4):  # host1 = side 1 only; no side-0 partner pages
+        rows.append((f"https://host1.example/p/{bx}", "host1", 1,
+                     bx * BS, 0))
+    df = spark.createDataFrame(
+        rows, "url string, group_id string, flags int, cell_x long, cell_y long")
+    out = M.strip_assemble(df, pair_of=lambda c: F.lit("all"),
+                           max_rmse=1e-12).collect()
+    assert out == []  # nothing mosaic-side to ride through, B excluded
