@@ -236,3 +236,15 @@ def test_adaptive_quadkey_int_packing(spark):
 
     m = re.search(r"_qk#\d+(\w?)", plan)
     assert m and m.group(1) == "L", f"join key not bigint in plan: {m}"
+
+
+def test_stored_block_requires_column(spark):
+    """use_stored_block=True without a block column fails loudly."""
+    import pytest as _pytest
+
+    from setsm_postprocessing_python_spark.operators.knn import (
+        knn_join_blocked)
+    from setsm_postprocessing_python_spark.sources.pages import geocoded_pages
+
+    with _pytest.raises(ValueError, match="block"):
+        knn_join_blocked(geocoded_pages(spark, SF), use_stored_block=True)
