@@ -62,12 +62,16 @@ def main() -> int:
         return (left.join(right, "block").where("ua < ub")
                 .groupBy("block").agg(F.count(F.lit(1)).alias("n_pairs")))
 
-    def knn(d):
+    def knn(d, lname):
+        # the stored-block flag is keyed off the LAYOUT NAME, not object
+        # identity: both layouts carry a `block` column, so an identity
+        # check (`d is tbl`) would silently benchmark the bucketed layout
+        # with the stored-block path off after any refactor that rebuilds
+        # the frame (e.g. re-reading the table)
         return knn_join_blocked(d, k=3, ring=1,
-                                use_stored_block=("block" in d.columns
-                                                  and d is tbl))
+                                use_stored_block=(lname == "bucketed"))
 
-    stages = {"cell_join": cell_join, "knn": knn}
+    stages = {"cell_join": lambda d, lname: cell_join(d), "knn": knn}
     layouts = {"flat": flat, "bucketed": tbl}
     times: dict[str, float] = {}
     exchanges: dict[str, int] = {}
@@ -76,18 +80,19 @@ def main() -> int:
             for lname, d in layouts.items():
                 key = f"{sname}_{lname}"
                 t = time.time()
-                materialize(fn(d))
+                materialize(fn(d, lname))
                 times[key] = min(times.get(key, float("inf")),
                                  round(time.time() - t, 3))
     for sname, fn in stages.items():
         for lname, d in layouts.items():
-            exchanges[f"{sname}_{lname}"] = _n_exchanges(fn(d))
+            exchanges[f"{sname}_{lname}"] = _n_exchanges(fn(d, lname))
     # sanity: identical results across layouts
     for sname, fn in stages.items():
-        a = fn(flat)
+        a = fn(flat, "flat")
         cols = a.columns
-        assert (fn(tbl).select(cols).exceptAll(a.select(cols)).isEmpty()
-                and a.select(cols).exceptAll(fn(tbl).select(cols)).isEmpty()), \
+        b = fn(tbl, "bucketed")
+        assert (b.select(cols).exceptAll(a.select(cols)).isEmpty()
+                and a.select(cols).exceptAll(b.select(cols)).isEmpty()), \
             f"{sname}: layouts disagree"
 
     n_pages = spark.read.parquet(f"{bench_dir}/documents.parquet").count()

@@ -172,7 +172,15 @@ def quadkey_int_expr(lat: str = "lat", lon: str = "lon",
     key exactly (pinned in tests). The shuffle currency of the adaptive
     tiling: a depth-12 string key is 13+ bytes per row in every exchange;
     the packed key is a fixed 8 — and prefix truncation becomes a
-    shiftright instead of a substring. Dialect-agnostic arithmetic."""
+    shiftright instead of a substring. Dialect-agnostic arithmetic.
+
+    depth is capped at 31: 2 bits per level means depth 32+ would overflow
+    the int64 weights (4**(depth-1) > 2^62) and silently alias distinct
+    tiles onto one key; the string quadkey_expr has no such limit."""
+    if depth > 31:
+        raise ValueError(
+            f"quadkey_int_expr: depth={depth} overflows int64 packing "
+            "(max 31); use the string quadkey_expr for deeper tilings")
     tx = f"(({lon} + 180.0) / 360.0)"
     ty = f"(({lat} + 90.0) / 180.0)"
     terms = []

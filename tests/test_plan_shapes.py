@@ -238,6 +238,18 @@ def test_adaptive_quadkey_int_packing(spark):
     assert m and m.group(1) == "L", f"join key not bigint in plan: {m}"
 
 
+def test_quadkey_int_depth_guard():
+    """depth > 31 would silently alias tiles in the int64 packing; the
+    expression builder must refuse instead."""
+    import pytest as _pytest
+
+    from setsm_postprocessing_python_spark.sql import dialect as D
+
+    assert D.quadkey_int_expr(depth=31)  # at the cap: still valid
+    with _pytest.raises(ValueError, match="depth"):
+        D.quadkey_int_expr(depth=32)
+
+
 def test_stored_block_requires_column(spark):
     """use_stored_block=True without a block column fails loudly."""
     import pytest as _pytest
