@@ -125,8 +125,11 @@ def ann_dedup_topk(df: DataFrame, dim: int, k: int = 3,
         track.append(groups)
     n_distinct = groups.count()
     reps = groups.select("vec_id", vec_col)
+    # dup_guard=None: reps are distinct BY CONSTRUCTION (one row per
+    # identical-vector group), so the duplication probe would be a
+    # wasted aggregate job here
     topk = lsh_topk(reps, dim, k=k, id_col="vec_id", vec_col=vec_col,
-                    seed=seed, n_hint=n_distinct)
+                    seed=seed, n_hint=n_distinct, dup_guard=None)
     sizes = groups.select("vec_id", "group_size")
     return (topk
             .join(sizes.withColumnRenamed("group_size", "size_a"), "vec_id")
@@ -360,15 +363,34 @@ def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_lists: int = 16,
                      "cosine", "sim_rank"))
 
 
+DUP_GUARD_DEFAULT = 4.0
+
+
 def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
              planes_per_table: int | None = None, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42,
              n_hint: int | None = None, probe_bits: int = 2,
-             rerank: str = "bucket") -> DataFrame:
+             rerank: str = "bucket",
+             dup_guard: float | None = DUP_GUARD_DEFAULT) -> DataFrame:
     """Approximate top-k: candidates collide in >=1 of n_tables LSH
     tables; exact cosine re-rank within candidates. Collision probability
     for angle theta: 1 - (1 - (1-theta/pi)^P)^T — with T=8, P=4 a
     60-degree neighbor is caught with p ~ 0.8.
+
+    dup_guard (default 4.0): the raw LSH path is QUADRATIC in duplicate-
+    group size — every bucket holds all copies of each duplicated vector,
+    so candidate pairs grow with dup_group_size^2 while carrying zero
+    information (measured: 34.6x wall at 10x data when replication rose
+    8x -> 80x; BENCH/SCALE_PROBE.md). Before bucketing, one cheap
+    aggregate (count + approx_count_distinct over xxhash64(vec)) probes
+    the duplication ratio; above the bound this raises and points the
+    caller at ann_dedup_topk — the production composition whose collapse
+    makes candidate volume a function of DISTINCT content (measured flat,
+    1.1x at 10x data). Pass dup_guard=None ONLY for input that is known
+    distinct (ann_dedup_topk's representatives) or for the deliberate
+    bounded-duplication oracle/bench role. The probe's exact count also
+    serves as n_hint, so the guarded path costs no extra job when n_hint
+    was not supplied.
 
     rerank='bucket' (default): cosine is computed PER BUCKET, where the
     candidate vectors are already co-located by the bucket shuffle — one
@@ -398,6 +420,23 @@ def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
     stats / parquet footer row count — e.g. pyarrow metadata.num_rows, or
     the Iceberg snapshot summary at scale) to avoid the sizing count job;
     the count fallback prunes to the id column only."""
+    if dup_guard is not None:
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(F.xxhash64(F.col(vec_col))).alias("nd"),
+        ).first()
+        ratio = stats["n"] / max(stats["nd"], 1)
+        if ratio > dup_guard:
+            raise ValueError(
+                f"lsh_topk: input duplication ratio ~{ratio:.1f} exceeds "
+                f"dup_guard={dup_guard} ({stats['n']} rows, "
+                f"~{stats['nd']} distinct vectors). Raw LSH candidate "
+                "volume grows with dup_group_size^2 (measured 34.6x wall "
+                "at 10x data); use ann_dedup_topk (exact-dup collapse -> "
+                "LSH over distinct vectors, measured flat), or pass "
+                "dup_guard=None to run the raw path deliberately.")
+        if n_hint is None:
+            n_hint = stats["n"]
     j = lsh_candidate_cosines(df, dim, n_tables, planes_per_table, id_col,
                               vec_col, seed, n_hint, probe_bits, rerank,
                               group_topk=k)

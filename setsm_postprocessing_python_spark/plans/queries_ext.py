@@ -170,7 +170,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = [p] if p.is_file() else sorted(p.glob("*.parquet"))
     n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     emb = spark.read.parquet(str(p))
-    out = SIM.lsh_topk(emb, dim=64, k=3, n_hint=n)
+    # dup_guard=None: this registered query IS the raw path's oracle/bench
+    # role (seed-locked golden at driver scale; the deliberate pathology
+    # measurement partner of q_ann_dedup on the replicated bench corpus).
+    # Callers building pipelines get the guarded default in lsh_topk.
+    out = SIM.lsh_topk(emb, dim=64, k=3, n_hint=n, dup_guard=None)
     return out.select("vec_id", "nbr_id", F.round("cosine", 6).alias("cosine"),
                       "sim_rank")
 

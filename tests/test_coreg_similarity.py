@@ -207,6 +207,40 @@ def test_embedding_near_dup_lsh_vs_brute(spark):
     assert recall >= 0.8, f"near-dup LSH recall too low: {recall:.2f}"
 
 
+def test_lsh_dup_guard(spark):
+    """The raw LSH path must refuse duplicate-heavy input by default (the
+    measured dup^2 candidate pathology, BENCH/SCALE_PROBE.md): 8x
+    replication raises with a message routing to ann_dedup_topk; the
+    bounded corpus runs unchanged; dup_guard=None keeps the deliberate
+    raw-path role available; ann_dedup_topk itself stays runnable on the
+    same duplicated input (its collapse is the fix the guard points at)."""
+    import pyspark.sql.functions as F
+
+    from setsm_postprocessing_python_spark.operators.similarity import (
+        ann_dedup_topk, lsh_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    reps = spark.range(8).select(F.col("id").alias("rep"))
+    dup = (emb.crossJoin(reps)
+              .select((F.col("vec_id") + F.col("rep") * n).alias("vec_id"),
+                      "embedding"))
+    with pytest.raises(ValueError, match="ann_dedup_topk"):
+        lsh_topk(dup, dim=64, k=3)
+    # bounded corpus: guarded default runs and equals the unguarded path
+    guarded = {(r.vec_id, r.nbr_id, r.sim_rank)
+               for r in lsh_topk(emb, dim=64, k=3).collect()}
+    unguarded = {(r.vec_id, r.nbr_id, r.sim_rank)
+                 for r in lsh_topk(emb, dim=64, k=3, n_hint=n,
+                                   dup_guard=None).collect()}
+    assert guarded == unguarded and guarded
+    # explicit opt-out still runs the raw path on the duplicated corpus
+    assert lsh_topk(dup, dim=64, k=3, n_hint=8 * n,
+                    dup_guard=None).limit(1).count() == 1
+    # and the rerouting target works on the same input
+    assert ann_dedup_topk(dup, dim=64, k=3).limit(1).count() == 1
+
+
 def test_ann_dedup_collapse_semantics(spark):
     """On a duplicated input, ann_dedup_topk must equal lsh_topk over the
     distinct vectors (representative = min id per identical-vector group)
