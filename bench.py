@@ -45,11 +45,17 @@ def _sf_from_dir(d: str) -> float:
 # it keys the per-query history so only like-for-like runs are compared.
 AMP = int(os.environ.get("SPARK_GRAFT_AMP", "40"))
 EMB_AMP = int(os.environ.get("SPARK_GRAFT_EMB_AMP", "8"))
+# Round 6: the bucketed pages layout is the DEFAULT execution path for the
+# headline bench (the proven 2->0-Exchange lever, BENCH/BUCKETED.md, now
+# pulled end-to-end); LAYOUT=flat keeps the A/B control. The one-time
+# layout write is reported separately (layout_write_s) — it is the
+# once-per-ingest job every block-keyed stage amortizes.
+LAYOUT = os.environ.get("SPARK_GRAFT_LAYOUT", "bucketed")
 BENCH_REV = os.environ.get(
     "SPARK_GRAFT_BENCH_REV",
-    f"r5-amp{AMP}x{EMB_AMP}d")  # d: +strip_assembly_host stage; rev now
-                                # derives from AMP so scale probes at other
-                                # amplifications key their own history rows
+    f"r6-amp{AMP}x{EMB_AMP}{'b' if LAYOUT == 'bucketed' else 'f'}")
+    # rev derives from AMP + layout so scale probes and the flat control
+    # key their own history rows
 
 
 def amplified_dir(spark, sf_dir: str, amp: int, emb_amp: int) -> str:
@@ -97,13 +103,18 @@ def headline_queries():
     def knn_fine(spark, sf_dir):
         # bench kNN at the native 0.005-degree grid (the scale-appropriate
         # resolution; q_knn's coarse 5-degree cells exist for driver-scale
-        # oracle coverage and are inherently quadratic at bench row counts)
+        # oracle coverage and are inherently quadratic at bench row counts).
+        # Over the bucketed layout the probe side joins on the STORED block
+        # column and loses its Exchange (use_stored_block keyed off the
+        # activation state, which guarantees the layout contract).
         from setsm_postprocessing_python_spark.operators.knn import (
             knn_join_blocked)
         from setsm_postprocessing_python_spark.sources.pages import (
-            geocoded_pages)
+            bucketed_pages_active, geocoded_pages)
 
-        return knn_join_blocked(geocoded_pages(spark, sf_dir), k=3, ring=1)
+        return knn_join_blocked(
+            geocoded_pages(spark, sf_dir), k=3, ring=1,
+            use_stored_block=bucketed_pages_active(spark, sf_dir))
 
     def strip_host(spark, sf_dir):
         # host-pair strip assembly at the grain that parallelizes across
@@ -181,6 +192,17 @@ def run_bench(parallelism: int, sf_dir: str) -> dict:
 
     spark = get_spark(parallelism=parallelism, app_name=f"bench[{parallelism}]")
     bench_dir = amplified_dir(spark, sf_dir, AMP, EMB_AMP)
+    layout_write_s = 0.0
+    if LAYOUT == "bucketed":
+        from setsm_postprocessing_python_spark.sources.bucketed import (
+            activate_bucketed_pages, ensure_bucketed_pages)
+
+        t0 = time.time()
+        _, did_write = ensure_bucketed_pages(
+            spark, bench_dir, f"{bench_dir}/pages_layout",
+            table="bench_pages_bucketed", n_buckets=32)
+        layout_write_s = round(time.time() - t0, 3) if did_write else 0.0
+        activate_bucketed_pages(spark, "bench_pages_bucketed", bench_dir)
     n_pages = spark.read.parquet(f"{bench_dir}/documents.parquet").count()
     qs = headline_queries()
     times: dict[str, float] = {}
@@ -216,6 +238,10 @@ def run_bench(parallelism: int, sf_dir: str) -> dict:
         "bench_rev": BENCH_REV,
         "passes": max(1, BENCH_PASSES),
         "pass_totals": totals,
+        "layout": LAYOUT,
+        "layout_write_s": layout_write_s,  # one-time ingest-side cost;
+                                           # 0.0 when a prior run's marker
+                                           # made the write a no-op
     }
     _record_history(result)
     return result

@@ -36,11 +36,37 @@ from .manifest import run_stage
 
 
 def run_pipeline(spark: SparkSession, sf_dir: str, workdir: str) -> list[dict]:
-    """Run all stages idempotently under workdir/{out,manifest}."""
+    """Run all stages idempotently under workdir/{out,manifest}.
+
+    Stage 0 is the LAYOUT JOB (round 6): pages are written once bucketed
+    by the spatial join block (sources/bucketed.py — the engine's central
+    shuffle lever, proven 2->0 Exchanges in BENCH/BUCKETED.md) and every
+    downstream stage reads the bucketed table via the activated pages
+    indirection. The write carries its own kill-safe marker protocol
+    (ensure_bucketed_pages), so a SIGKILL mid-layout-write converges on
+    restart exactly like the manifest-checkpointed stages."""
+    from ..sources.bucketed import (activate_bucketed_pages,
+                                    deactivate_bucketed_pages,
+                                    ensure_bucketed_pages)
+
     out_dir = f"{workdir}/out"
     man_dir = f"{workdir}/manifest"
     results = []
 
+    ensure_bucketed_pages(spark, sf_dir, f"{workdir}/layout",
+                          table="pipeline_pages_bucketed", n_buckets=8)
+    activate_bucketed_pages(spark, "pipeline_pages_bucketed", sf_dir)
+    try:
+        return _run_stages(spark, sf_dir, out_dir, man_dir, results)
+    finally:
+        # the activation conf is session-global: never leak it past this
+        # pipeline run (a later query on the same session could otherwise
+        # read a dropped/stale table)
+        deactivate_bucketed_pages(spark)
+
+
+def _run_stages(spark: SparkSession, sf_dir: str, out_dir: str,
+                man_dir: str, results: list) -> list[dict]:
     base = with_flags(geocoded_pages(spark, sf_dir))
 
     # stage 1: geocode + flags, partitioned by host group

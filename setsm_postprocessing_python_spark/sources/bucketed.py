@@ -37,13 +37,23 @@ local CPU, not network.
 
 from __future__ import annotations
 
+import json
+import shutil
+from pathlib import Path
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sql import dialect as D
-from .pages import geocoded_pages
+from .pages import BUCKETED_SFDIR_CONF, BUCKETED_TABLE_CONF, geocoded_pages
 
 BLOCK_SHIFT = 6  # matches operators/knn.BLOCK_SHIFT (64x64-cell blocks)
+
+# layout-job completion marker (the `.fin` semantics applied to the layout
+# write, reference batch_scenes2strips.py:1190-1203): present = the files
+# under the table path are a COMPLETE bucketed write for the recorded
+# corpus/grain; absent = remove-incomplete and rewrite
+LAYOUT_MARKER = "_LAYOUT_READY"
 
 
 def block_expr(block_shift: int = BLOCK_SHIFT):
@@ -86,3 +96,71 @@ def write_bucketed_pages(spark: SparkSession, sf_dir: str, path: str,
     """The pages table in the bucketed layout (block at `block_shift`)."""
     return write_bucketed(spark, blocked_pages(spark, sf_dir, block_shift),
                           path, table, n_buckets)
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    """Column DDL for re-registration (simple scalar schema, so
+    simpleString per field is valid Spark DDL)."""
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in df.schema.fields)
+
+
+def ensure_bucketed_pages(spark: SparkSession, sf_dir: str, path: str,
+                          table: str = "pages_bucketed",
+                          n_buckets: int = 8,
+                          block_shift: int = BLOCK_SHIFT,
+                          ) -> tuple[DataFrame, bool]:
+    """Idempotent, kill-safe layout job. Returns (table_df, did_write).
+
+    - Marker present AND it records the same (sf_dir, n_buckets,
+      block_shift): the files are trusted complete; the catalog entry is
+      (re)created via DDL if this session does not have it (the sandbox
+      in-memory catalog dies with the session; the files + marker are the
+      durable state — in production this is the Iceberg table metadata).
+      The DDL re-registration declares the SAME bucket spec, so a fresh
+      session's scans still report HashPartitioning(block, N) and keep
+      the shuffle elimination (pinned in tests/test_plan_shapes.py).
+    - Marker absent or stale (a killed/partial write, or a different
+      corpus/grain): remove-incomplete semantics — drop the table, delete
+      the dir, rewrite, then write the marker LAST. A SIGKILL at any
+      point leaves either (complete files + marker) or (no marker), never
+      a readable-but-partial table.
+    """
+    p = Path(path)
+    marker = p / LAYOUT_MARKER
+    if marker.exists():
+        meta = json.loads(marker.read_text())
+        if (meta.get("sf_dir") == sf_dir
+                and meta.get("n_buckets") == n_buckets
+                and meta.get("block_shift") == block_shift):
+            if not spark.catalog.tableExists(table):
+                spark.sql(
+                    f"CREATE TABLE {table} ({meta['ddl']}) USING parquet "
+                    f"CLUSTERED BY ({meta['key']}) SORTED BY ({meta['key']}) "
+                    f"INTO {n_buckets} BUCKETS LOCATION '{path}'")
+            return spark.table(table), False
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(p, ignore_errors=True)
+    tbl = write_bucketed_pages(spark, sf_dir, path, table, n_buckets,
+                               block_shift)
+    marker.write_text(json.dumps({
+        "sf_dir": sf_dir, "n_buckets": n_buckets,
+        "block_shift": block_shift, "key": "block",
+        "ddl": _schema_ddl(tbl)}))
+    return tbl, True
+
+
+def activate_bucketed_pages(spark: SparkSession, table: str,
+                            sf_dir: str) -> None:
+    """Make `table` the session's default pages source for `sf_dir`:
+    sources.pages.geocoded_pages serves the bucketed table instead of
+    deriving from the flat parquet (see pages._bucketed_table for the
+    contract). Pair with deactivate_bucketed_pages in a finally block —
+    the conf is session-global."""
+    spark.conf.set(BUCKETED_TABLE_CONF, table)
+    spark.conf.set(BUCKETED_SFDIR_CONF, sf_dir)
+
+
+def deactivate_bucketed_pages(spark: SparkSession) -> None:
+    spark.conf.unset(BUCKETED_TABLE_CONF)
+    spark.conf.unset(BUCKETED_SFDIR_CONF)

@@ -22,6 +22,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sql import dialect as D
 
+# Bucketed-layout indirection (round 6 — the proven shuffle lever becomes
+# the default execution path). When BOTH confs are set and the sf_dir
+# matches, geocoded_pages serves the registered bucketed table (written by
+# sources/bucketed.ensure_bucketed_pages: the same geocoded projection
+# plus a materialized `block` column, bucketBy(N, block)) instead of
+# re-deriving from the flat parquet. The sf_dir match is load-bearing:
+# a session-global conf must never silently serve one corpus to a query
+# asked about another (tests and multi-corpus sessions coexist).
+BUCKETED_TABLE_CONF = "spark.setsm.pages.bucketedTable"
+BUCKETED_SFDIR_CONF = "spark.setsm.pages.bucketedSfDir"
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The activated bucketed pages table for THIS sf_dir, or None.
+    A set conf naming a missing table raises (config error, loud)."""
+    name = spark.conf.get(BUCKETED_TABLE_CONF, "")
+    if not name or spark.conf.get(BUCKETED_SFDIR_CONF, "") != sf_dir:
+        return None
+    return spark.table(name)
+
+
+def bucketed_pages_active(spark: SparkSession, sf_dir: str) -> bool:
+    """True when geocoded_pages(spark, sf_dir) will serve the bucketed
+    layout — i.e. when callers may set use_stored_block on block-keyed
+    joins (the layout contract: `block` materialized by
+    sources/bucketed.block_expr at knn.BLOCK_SHIFT on the native grid)."""
+    return _bucketed_table(spark, sf_dir) is not None
+
 
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -65,7 +93,20 @@ def geocoded_pages(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
     (lib/raster_io.py:441-443) — here the 'grid' is the canonical global
     0.005-degree cell space, so phase alignment is free
     (cf. lib/scenes2strips.py:279-282).
+
+    When a bucketed layout is activated for this sf_dir (see
+    sources/bucketed.activate_bucketed_pages), the registered table is
+    served instead: identical rows and derivations (pinned by
+    tests/test_plan_shapes.py::test_bucketed_default_rows_match_flat)
+    plus the materialized `block` column, and every scan of it reports
+    HashPartitioning(block, N) — block-keyed joins downstream lose their
+    probe-side Exchange. Keyword variants (with_html) always take the
+    flat path: the layout stores the narrow projection.
     """
+    if not kw:
+        tbl = _bucketed_table(spark, sf_dir)
+        if tbl is not None:
+            return tbl
     df = pages(spark, sf_dir, **kw)
     return (
         df.withColumn("lat", F.expr(D.lat_expr(D.SPARK)))

@@ -201,3 +201,87 @@ def test_pipeline_sigkill_midwrite_restart_converges(spark, tmp_path):
         assert a.count() == b.count() > 0, f"{stage}: row count differs"
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), \
             f"{stage}: restarted output differs from uninterrupted run"
+
+
+_LAYOUT_SCRIPT = """
+import sys
+sys.path.insert(0, "/root/repo")
+import pyspark.sql.functions as F
+from setsm_postprocessing_python_spark.session import get_spark
+from setsm_postprocessing_python_spark.sources.bucketed import (
+    ensure_bucketed_pages)
+from setsm_postprocessing_python_spark.plans.planview import n_exchanges
+
+spark = get_spark(parallelism=4, app_name="chaos-layout",
+                  shuffle_partitions=4)
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+tbl, did = ensure_bucketed_pages(spark, "/root/testdata/sf0.001",
+                                 sys.argv[1], table="chaos_layout_pages",
+                                 n_buckets=8)
+left = tbl.select(F.col("url").alias("ua"), "block")
+right = tbl.select(F.col("url").alias("ub"), "block")
+nx = n_exchanges(left.join(right, "block").where("ua < ub"))
+row = tbl.agg(F.count(F.lit(1)),
+              F.expr("sum(cast(xxhash64(url, block, cell) as decimal(38,0)))")).collect()[0]  # decimal sum: int64 sum of hashes overflows under ANSI
+print("RESULT", row[0], row[1], did, nx)
+spark.stop()
+"""
+
+
+def test_layout_sigkill_midwrite_restart_converges(spark, tmp_path):
+    """The `.fin`/--remove-incomplete semantics applied to the LAYOUT JOB
+    (round-6 directive: the bucketed table is now the default execution
+    path, so its write must be as kill-safe as the manifest stages): kill
+    a subprocess during saveAsTable, assert the marker protocol left the
+    table either absent or complete (never readable-but-partial), restart
+    and require convergence with an uninterrupted run — including the
+    fresh session's DDL re-registration keeping the join shuffle-free."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    d_chaos = str(tmp_path / "layout_chaos")
+    d_ref = str(tmp_path / "layout_ref")
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _LAYOUT_SCRIPT, d_chaos],
+        start_new_session=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    deadline = time.time() + 300
+    while time.time() < deadline and proc.poll() is None:
+        if Path(d_chaos).exists():
+            break
+        time.sleep(0.02)
+    if proc.poll() is not None:
+        proc.wait()
+        pytest.skip("layout write completed before the kill window")
+    os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+
+    # invariant after a kill: marker present implies the write completed
+    # BEFORE the kill (marker is written last); marker absent means the
+    # next ensure treats the dir as incomplete and rewrites — there is no
+    # state in which partial files would be served
+    marker = Path(d_chaos) / "_LAYOUT_READY"
+    killed_before_marker = not marker.exists()
+
+    outs = {}
+    for d in (d_chaos, d_ref):
+        done = subprocess.run(
+            [sys.executable, "-c", _LAYOUT_SCRIPT, d],
+            capture_output=True, text=True, timeout=580)
+        assert done.returncode == 0, done.stderr[-2000:]
+        line = [ln for ln in done.stdout.splitlines()
+                if ln.startswith("RESULT")][0]
+        _, n, chk, did, nx = line.split()
+        outs[d] = (n, chk, nx)
+        if d == d_chaos:
+            # killed mid-write -> the restart must have rewritten; killed
+            # after the marker -> it must have served the complete files
+            assert (did == "True") == killed_before_marker
+        assert nx == "0", "re-registered table lost its bucket spec"
+    assert outs[d_chaos][:2] == outs[d_ref][:2], \
+        "restarted layout differs from uninterrupted run"
+    assert marker.exists()

@@ -206,6 +206,75 @@ def test_bucketed_layout_drops_knn_probe_exchange(
         spark.sql("DROP TABLE IF EXISTS t_bkt_knn")
 
 
+def test_bucketed_default_rows_match_flat(spark, tmp_path, no_broadcast):
+    """Round 6: the bucketed layout as the DEFAULT pages path. With the
+    activation conf set, geocoded_pages serves the registered bucketed
+    table — identical rows to the flat derivation (plus the materialized
+    block column), shuffle-free block self-join, sf_dir-scoped (a session
+    conf must never serve corpus A to a query about corpus B), with_html
+    falls back to flat, and the marker-file protocol re-registers a
+    dropped catalog entry via DDL with the bucket spec intact."""
+    from setsm_postprocessing_python_spark.sources import bucketed as B
+    from setsm_postprocessing_python_spark.sources.pages import (
+        bucketed_pages_active, geocoded_pages)
+
+    flat = geocoded_pages(spark, SF)
+    tbl, did = B.ensure_bucketed_pages(
+        spark, SF, str(tmp_path / "layout"), table="t_bkt_default",
+        n_buckets=8)
+    assert did
+    try:
+        B.activate_bucketed_pages(spark, "t_bkt_default", SF)
+        assert bucketed_pages_active(spark, SF)
+        assert not bucketed_pages_active(spark, "/root/testdata/sf0.01")
+        served = geocoded_pages(spark, SF)
+        assert "block" in served.columns
+        assert _n_exchanges(_plan(spark, _self_join_on_block(served))) == 0
+        assert (served.drop("block").exceptAll(flat).isEmpty()
+                and flat.exceptAll(served.drop("block")).isEmpty())
+        # keyword variants and other corpora take the flat path
+        assert "block" not in geocoded_pages(spark, SF,
+                                             with_html=True).columns
+        assert "block" not in geocoded_pages(
+            spark, "/root/testdata/sf0.01").columns
+        # second ensure: marker short-circuits (no rewrite), and after a
+        # catalog drop (fresh-session analogue) the DDL re-registration
+        # still reports the bucket spec — the join stays shuffle-free
+        spark.sql("DROP TABLE t_bkt_default")
+        tbl2, did2 = B.ensure_bucketed_pages(
+            spark, SF, str(tmp_path / "layout"), table="t_bkt_default",
+            n_buckets=8)
+        assert not did2
+        assert _n_exchanges(_plan(spark, _self_join_on_block(tbl2))) == 0
+        assert tbl2.count() == flat.count()
+    finally:
+        B.deactivate_bucketed_pages(spark)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_default")
+
+
+def test_ensure_bucketed_rewrites_on_stale_marker(spark, tmp_path):
+    """A marker recording a DIFFERENT corpus/grain must not be trusted:
+    ensure_bucketed_pages rewrites instead of serving the stale files."""
+    from setsm_postprocessing_python_spark.sources import bucketed as B
+
+    path = str(tmp_path / "layout")
+    _, did = B.ensure_bucketed_pages(spark, SF, path, table="t_bkt_stale",
+                                     n_buckets=8)
+    assert did
+    try:
+        # same path, different grain -> rewrite; same grain -> no-op
+        _, did_grain = B.ensure_bucketed_pages(
+            spark, SF, path, table="t_bkt_stale", n_buckets=8,
+            block_shift=4)
+        assert did_grain
+        _, did_same = B.ensure_bucketed_pages(
+            spark, SF, path, table="t_bkt_stale", n_buckets=8,
+            block_shift=4)
+        assert not did_same
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_stale")
+
+
 def test_adaptive_quadkey_int_packing(spark):
     """The int64-packed quadkey path: (a) packed->string re-rendering is
     bit-identical to the string quadkey expression at every level on real
