@@ -25,6 +25,26 @@ from ..sql import dialect as D
 _DD = D.DUCKDB
 M31 = DD.MERSENNE31
 
+# Handles to every DataFrame a registered query persisted (q_strip_assembly's
+# pruned projection + strip_assemble's internal trans/agg tables,
+# q_ann_dedup's collapse table). Deterministic reclamation is CALLER-OWNED,
+# not automatic: re-invoking a registered query must keep reusing its
+# logical-plan-matched caches (the bench's warm-pass protocol — clearing
+# between passes was measured to double the cache-heavy stages and was
+# rejected, see bench.py), and Spark's CacheManager dedupes a re-persist of
+# an identical plan, so repeated invocations do not accumulate entries.
+# A long-lived session that wants the memory back calls release_caches()
+# after materializing its results.
+_TRACKED_CACHES: list = []
+
+
+def release_caches() -> None:
+    """Unpersist every cache the registered heavy queries created. Call
+    after materializing (collecting/writing) their results — releasing
+    earlier just forces a recompute. Idempotent."""
+    while _TRACKED_CACHES:
+        _TRACKED_CACHES.pop().unpersist()
+
 
 def _with_cells(body: str, extra_ctes: str = "") -> str:
     extra = f", {extra_ctes}" if extra_ctes else ""
@@ -198,7 +218,7 @@ def q_ann_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = [p] if p.is_file() else sorted(p.glob("*.parquet"))
     n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     emb = spark.read.parquet(str(p))
-    out = SIM.ann_dedup_topk(emb, dim=64, k=3)
+    out = SIM.ann_dedup_topk(emb, dim=64, k=3, track=_TRACKED_CACHES)
     return out.select("vec_id", "nbr_id", F.round("cosine", 6).alias("cosine"),
                       "sim_rank", "size_a", "size_b")
 
@@ -286,12 +306,17 @@ def q_strip_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_strip_assembly.py."""
     # both variants consume the same projection; prune to the 5 needed
     # columns (dropping text — the flags tokenization is the expensive
-    # part) and persist so the scan + flag derivation run once, not twice
+    # part) and persist so the scan + flag derivation run once, not twice.
+    # All persists are tracked for caller-owned reclamation
+    # (release_caches) — see the _TRACKED_CACHES note at the top.
     df = (with_flags(P.geocoded_pages(spark, sf_dir))
           .select("group_id", "url", "flags", "cell_x", "cell_y").persist())
+    _TRACKED_CACHES.append(df)
     sup = M.strip_assemble(df, pair_of=lambda c: F.lit("all"),
-                           max_rmse=STRIP_ASSEMBLY_RMSE)
-    host = M.strip_assemble(df, max_rmse=STRIP_ASSEMBLY_RMSE)
+                           max_rmse=STRIP_ASSEMBLY_RMSE,
+                           track=_TRACKED_CACHES)
+    host = M.strip_assemble(df, max_rmse=STRIP_ASSEMBLY_RMSE,
+                            track=_TRACKED_CACHES)
     out = (sup.withColumn("variant", F.lit("super"))
            .unionByName(host.withColumn("variant", F.lit("host"))))
     return out.select(
@@ -894,10 +919,235 @@ GOLDEN_COLS = {
     "q_cell_indexes": "url, cell_s2, cell_hex, cell_h3, h3_ring_sum",
     "q_footprints": ("group_id, n_cells, n_vertices, hull_area, "
                      "convex_area, is_concave, wkt"),
-    "q_merge_order": "group_id, url, order_idx, segment_num, is_redundant",
 }
 for _n, _c in GOLDEN_COLS.items():
     ORACLES[_n] = golden_oracle(_n, _c)
+
+
+# ---------------------------------------------------------------------------
+# Live merge-order oracle (round 6 — golden retired). The orderPairs greedy
+# fold (reference lib/scenes2strips.py:921-997) re-derived as a DuckDB
+# recursive CTE: group members are carried as a LIST-of-struct working set
+# and each recursive step either picks the max-overlap member (argmax via
+# list_reduce, tie-break min url), marks it redundant (exact union-coverage
+# gate), or declares a segment break. Iteration count is bounded by
+# 2 * members + 1 per group, and the driver corpora hold ~10 members/group.
+#
+# Two DuckDB 1.0 footguns are encoded below:
+# - list_reduce evaluates the lambda's struct fields SEQUENTIALLY against
+#   the mutated accumulator, so any field reading acc.X must be assigned
+#   before the field writing acc.X ('s' before 'e' in the y-union sweep);
+# - bare numeric literals are DECIMAL — every constant that meets a DOUBLE
+#   is cast explicitly so both engines compare the same IEEE doubles.
+#
+# Float parity: the pick argmax and the domination gate compute the same
+# products as the engine (bitwise identical); the union-coverage area sums
+# slab-by-slab while the engine's numpy kernel sums cell-by-cell — same
+# exact rectangles, different summation order, so the redundancy gate could
+# in principle flip within ~1e-14 of the 5% threshold (fuzzed to 1e-14
+# agreement in tests/test_merge_order.py; discrete outputs are otherwise
+# float-free).
+
+
+def _mo_union_covered(pick: str, acc: str) -> str:
+    """Exact area of rect `pick` covered by the union of rects in `acc`:
+    coordinate-compressed x-slab sweep; per slab, the active y-intervals'
+    union length via a sorted list_reduce. PURE lambda expression — no
+    correlated scalar subquery: a dependent join in a recursive term
+    misaligns the working-table rows in duckdb 1.0 (observed as picks
+    drawn from another group's state), so intermediate names (uclips,
+    uxs) are bound via single-element list_transform wrappers instead."""
+    clips = (f"list_filter(list_transform({acc}, m -> "
+             f"{{'x0': greatest(m.x0, ({pick}).x0), "
+             f"'x1': least(m.x1, ({pick}).x1), "
+             f"'y0': greatest(m.y0, ({pick}).y0), "
+             f"'y1': least(m.y1, ({pick}).y1)}}), "
+             f"cc -> cc.x1 > cc.x0 AND cc.y1 > cc.y0)")
+    return f"""
+      list_transform([{clips}], uclips ->
+        list_transform([list_sort(list_distinct(flatten(
+            list_transform(uclips, cc -> [cc.x0, cc.x1]))))], uxs ->
+          coalesce(list_sum(list_transform(range(1, len(uxs)), i ->
+            (uxs[i+1] - uxs[i]) *
+            (list_reduce(
+               list_prepend({{'y0': CAST(0 AS DOUBLE), 'y1': CAST(0 AS DOUBLE),
+                              's': CAST(0 AS DOUBLE),
+                              'e': CAST(-1e300 AS DOUBLE)}},
+                 list_transform(
+                   list_sort(list_transform(
+                     list_filter(uclips,
+                                 cc -> cc.x0 <= uxs[i] AND cc.x1 >= uxs[i+1]),
+                     cc -> {{'y0': cc.y0, 'y1': cc.y1}})),
+                   v -> {{'y0': v.y0, 'y1': v.y1, 's': CAST(0 AS DOUBLE),
+                          'e': CAST(0 AS DOUBLE)}})),
+               (a2, m2) -> {{'y0': CAST(0 AS DOUBLE), 'y1': CAST(0 AS DOUBLE),
+                            's': a2.s + greatest(CAST(0 AS DOUBLE),
+                                                 m2.y1 - greatest(m2.y0, a2.e)),
+                            'e': greatest(a2.e, m2.y1)}})).s
+          )), CAST(0 AS DOUBLE)))[1])[1]"""
+
+
+_MO_INTER = (
+    "greatest(CAST(0 AS DOUBLE), least(cx1, m.x1) - greatest(cx0, m.x0))"
+    " * greatest(CAST(0 AS DOUBLE), least(cy1, m.y1) - greatest(cy0, m.y0))")
+
+
+def merge_order_oracle_sql(member_source: str | None = None,
+                           groups: list[str] | None = None) -> str:
+    """The full recursive orderPairs oracle. member_source overrides the
+    member CTE body (group_id, url, x0, x1, y0, y1) so tests can run the
+    same fold over synthetic rects; default derives footprints from the
+    documents corpus exactly like operators/merge.with_footprint.
+
+    ONE RECURSIVE CTE PER GROUP (`groups` defaults to the corpus's fixed
+    host0..host{{HOSTS-1}}): with several groups advancing in one shared
+    working table, duckdb 1.0 mis-evaluates the lambda kernels across the
+    chunk's rows (observed: picks drawn from ANOTHER group's state; every
+    single-group run is correct, every 30-group batch run is not — see
+    tests/test_merge_order.py::test_live_oracle_fuzz_vs_engine_kernel).
+    A per-group recursion keeps exactly one working row per CTE, which is
+    the empirically clean configuration. The shared prefix CTEs
+    (footprints, direction sort, anti-domination rotation) are computed
+    once; only the sequential fold is replicated."""
+    hw = "(0.5 + CAST(n_chars % 97 AS DOUBLE) / 97.0)"
+    hh = "(0.5 + CAST(n_chars % 89 AS DOUBLE) / 89.0)"
+    if member_source is None:
+        member_source = f"""
+  SELECT group_id, url,
+         lon - {hw} AS x0, lon + {hw} AS x1,
+         lat - {hh} AS y0, lat + {hh} AS y1
+  FROM cells"""
+        prelude = f"{D.geo_ctes(_DD)},"
+    else:
+        prelude = ""
+    if groups is None:
+        groups = [f"host{i}" for i in range(D.HOSTS)]
+    fold_ctes = ",\n".join(
+        _mo_fold_cte(f"mo_st_{k}", g) for k, g in enumerate(groups))
+    union = "\nUNION ALL\n".join(
+        f"SELECT group_id, p_u, p_oidx, p_seg, p_red FROM mo_st_{k} "
+        "WHERE p_u IS NOT NULL" for k in range(len(groups)))
+    return f"""
+WITH RECURSIVE {prelude}
+mo_mem AS ({member_source}),
+mo_grp AS (
+  SELECT group_id,
+         (max(y1) - min(y0)) >= (max(x1) - min(x0)) AS tall
+  FROM mo_mem GROUP BY group_id),
+mo_cov AS (
+  -- first-member anti-domination precompute: order-independent, so the
+  -- while-loop's rotation count is just the first list position where
+  -- stop_ok holds (capped at len-1)
+  SELECT a.group_id, a.url,
+         (NOT coalesce(bool_or(
+            greatest(CAST(0 AS DOUBLE), least(a.x1, b.x1) - greatest(a.x0, b.x0))
+            * greatest(CAST(0 AS DOUBLE), least(a.y1, b.y1) - greatest(a.y0, b.y0))
+            >= CAST(0.90 AS DOUBLE) * (greatest(CAST(0 AS DOUBLE), a.x1 - a.x0)
+                                       * greatest(CAST(0 AS DOUBLE), a.y1 - a.y0))),
+          FALSE))
+         OR (greatest(CAST(0 AS DOUBLE), a.x1 - a.x0)
+             * greatest(CAST(0 AS DOUBLE), a.y1 - a.y0)) = CAST(0 AS DOUBLE)
+         AS stop_ok
+  FROM mo_mem a LEFT JOIN mo_mem b
+    ON a.group_id = b.group_id AND a.url != b.url
+  GROUP BY a.group_id, a.url, a.x0, a.x1, a.y0, a.y1),
+mo_sorted AS (
+  SELECT m.group_id,
+         list({{'u': m.url, 'x0': m.x0, 'x1': m.x1, 'y0': m.y0, 'y1': m.y1,
+                'ok': c.stop_ok}}
+              ORDER BY CASE WHEN g.tall THEN m.y0 ELSE m.x0 END, m.url) AS ms
+  FROM mo_mem m
+  JOIN mo_grp g ON m.group_id = g.group_id
+  JOIN mo_cov c ON m.group_id = c.group_id AND m.url = c.url
+  GROUP BY m.group_id),
+mo_init AS (
+  SELECT group_id,
+         list_concat(ms[d + 1:len(ms)], ms[1:d]) AS rem
+  FROM (SELECT group_id, ms,
+               least(coalesce(list_position(
+                       list_transform(ms, m -> m.ok), true) - 1,
+                     len(ms) - 1), len(ms) - 1) AS d
+        FROM mo_sorted)),
+{fold_ctes}
+SELECT group_id, p_u AS url, p_oidx AS order_idx, p_seg AS segment_num,
+       p_red AS is_redundant
+FROM ({union}) mo_all
+"""
+
+
+def _mo_fold_cte(name: str, gid: str) -> str:
+    """One group's sequential greedy fold as a single-working-row
+    recursive CTE (see merge_order_oracle_sql for why per-group)."""
+    gid_lit = gid.replace("'", "''")
+    return f"""{name} AS (
+  SELECT group_id, 0 AS it, rem,
+         CAST([] AS STRUCT(x0 DOUBLE, x1 DOUBLE, y0 DOUBLE, y1 DOUBLE)[]) AS acc,
+         FALSE AS has_cur,
+         CAST(0 AS DOUBLE) AS cx0, CAST(0 AS DOUBLE) AS cx1,
+         CAST(0 AS DOUBLE) AS cy0, CAST(0 AS DOUBLE) AS cy1,
+         0 AS seg, 0 AS oidx,
+         CAST(NULL AS VARCHAR) AS p_u, CAST(NULL AS INT) AS p_oidx,
+         CAST(NULL AS INT) AS p_seg, CAST(NULL AS BOOLEAN) AS p_red
+  FROM mo_init WHERE group_id = '{gid_lit}'
+  UNION ALL
+  SELECT group_id, it + 1,
+    -- every lambda in this recursive term runs UNCONDITIONALLY with the
+    -- branch folded into its predicate/argument; lambda functions inside
+    -- CASE branches of a recursive term mis-evaluate in duckdb 1.0
+    list_filter(rem, m -> branch = 'break' OR m.u != (pick).u),
+    CASE WHEN branch IN ('start', 'accept')
+         THEN list_append(acc, {{'x0': (pick).x0, 'x1': (pick).x1,
+                                 'y0': (pick).y0, 'y1': (pick).y1}})
+         ELSE acc END,
+    branch != 'break',
+    CASE WHEN branch = 'start' THEN (pick).x0
+         WHEN branch = 'accept' THEN least(cx0, (pick).x0) ELSE cx0 END,
+    CASE WHEN branch = 'start' THEN (pick).x1
+         WHEN branch = 'accept' THEN greatest(cx1, (pick).x1) ELSE cx1 END,
+    CASE WHEN branch = 'start' THEN (pick).y0
+         WHEN branch = 'accept' THEN least(cy0, (pick).y0) ELSE cy0 END,
+    CASE WHEN branch = 'start' THEN (pick).y1
+         WHEN branch = 'accept' THEN greatest(cy1, (pick).y1) ELSE cy1 END,
+    seg + CASE WHEN branch = 'break' THEN 1 ELSE 0 END,
+    oidx + CASE WHEN branch IN ('start', 'accept') THEN 1 ELSE 0 END,
+    CASE WHEN branch = 'break' THEN NULL ELSE (pick).u END,
+    CASE WHEN branch IN ('start', 'accept') THEN oidx
+         WHEN branch = 'red' THEN -1 END,
+    CASE WHEN branch = 'break' THEN NULL ELSE seg END,
+    CASE WHEN branch = 'break' THEN NULL ELSE branch = 'red' END
+  FROM (
+    SELECT *,
+      CASE WHEN NOT has_cur THEN 'start'
+           WHEN (pick).a <= CAST(0 AS DOUBLE) THEN 'break'
+           WHEN (parea - covered) < CAST(0.05 AS DOUBLE) * parea THEN 'red'
+           ELSE 'accept' END AS branch
+    FROM (
+      SELECT *,
+        greatest(CAST(0 AS DOUBLE), (pick).x1 - (pick).x0)
+        * greatest(CAST(0 AS DOUBLE), (pick).y1 - (pick).y0) AS parea,
+        -- unconditional lambda kernel: with has_cur false acc is empty,
+        -- so the sweep coalesces to 0.0 anyway
+        {_mo_union_covered('pick', 'acc')} AS covered
+      FROM (
+        -- pick selection is a PLAIN struct CASE over two pre-computed
+        -- values: the unconditional argmax reduce (captures only the
+        -- four cur doubles) and the directionally-first element
+        SELECT * EXCLUDE (pick_red),
+          CASE WHEN has_cur THEN pick_red
+               ELSE {{'a': CAST(1 AS DOUBLE), 'u': rem[1].u,
+                      'x0': rem[1].x0, 'x1': rem[1].x1,
+                      'y0': rem[1].y0, 'y1': rem[1].y1}} END AS pick
+        FROM (
+          SELECT *,
+            list_reduce(
+              list_transform(rem, m -> {{'a': {_MO_INTER}, 'u': m.u,
+                'x0': m.x0, 'x1': m.x1, 'y0': m.y0, 'y1': m.y1}}),
+              (b, m) -> CASE WHEN m.a > b.a OR (m.a = b.a AND m.u < b.u)
+                             THEN m ELSE b END) AS pick_red
+          FROM {name} WHERE len(rem) > 0) mo_l0) mo_l1) mo_l2) mo_l3)"""
+
+
+ORACLES["q_merge_order"] = merge_order_oracle_sql()
 
 
 # Live feather-field oracle (round 5 — golden retired). The UDF's

@@ -107,3 +107,56 @@ def test_spark_merge_order_runs(spark):
             assert r.order_idx >= 0
             assert r.order_idx not in seen[r.group_id]
             seen[r.group_id].add(r.order_idx)
+
+
+def test_live_oracle_fuzz_vs_engine_kernel():
+    """The round-6 live SQL oracle (recursive CTE re-derivation of the
+    greedy fold, plans/queries_ext.merge_order_oracle_sql) must equal the
+    engine's _order_group on synthetic rect sets that EXERCISE EVERY
+    BRANCH — the driver corpora never trigger the redundancy gate, so this
+    fuzz is what pins the 'red' and domination paths of the SQL. Heavy
+    overlap (small spread) drives redundancy + domination; sparse layouts
+    drive segment breaks."""
+    import random
+
+    import duckdb
+
+    from setsm_postprocessing_python_spark.plans.queries_ext import (
+        merge_order_oracle_sql)
+
+    rng = random.Random(13)
+    rows = []
+    for gi in range(30):
+        n = rng.randint(1, 9)
+        spread = rng.choice([0.3, 1.0, 6.0])  # tight -> redundant; wide -> breaks
+        for mi in range(n):
+            cx, cy = rng.uniform(-5, 5) * spread, rng.uniform(-5, 5) * spread
+            hw, hh = rng.uniform(0.4, 2.5), rng.uniform(0.4, 2.5)
+            rows.append((f"g{gi}", f"u{mi:02d}",
+                         cx - hw, cx + hw, cy - hh, cy + hh))
+    mem = pd.DataFrame(rows, columns=["group_id", "url",
+                                      "fx0", "fx1", "fy0", "fy1"])
+    want = pd.concat([_order_group(sub)
+                      for _, sub in mem.groupby("group_id")],
+                     ignore_index=True)
+
+    con = duckdb.connect()
+    con.register("mo_fuzz", mem)
+    sql = merge_order_oracle_sql(
+        member_source="SELECT group_id, url, fx0 AS x0, fx1 AS x1, "
+                      "fy0 AS y0, fy1 AS y1 FROM mo_fuzz",
+        groups=sorted(mem.group_id.unique()))
+    got = con.execute(sql).fetchdf()
+
+    key = ["group_id", "url"]
+    a = got.sort_values(key, ignore_index=True)
+    b = want.sort_values(key, ignore_index=True)
+    assert len(a) == len(b) == len(mem)
+    for col in ("order_idx", "segment_num"):
+        assert (a[col].astype(int) == b[col].astype(int)).all(), col
+    assert (a["is_redundant"].astype(bool)
+            == b["is_redundant"].astype(bool)).all()
+    assert (a["url"] == b["url"]).all() and (a["group_id"] == b["group_id"]).all()
+    # branch coverage: the fuzz corpus must actually hit every path
+    assert b["is_redundant"].any(), "fuzz never exercised the redundancy gate"
+    assert (b["segment_num"] > 0).any(), "fuzz never exercised segment breaks"
