@@ -1248,26 +1248,43 @@ _COREG_CTES = f"""
              sum(x*y) AS sxy, sum(y*y) AS syy,
              sum(dz) AS sz, sum(x*dz) AS sxz, sum(y*dz) AS syz
       FROM coreg_kept GROUP BY grain, pair),
-    coreg_sol AS (
+    coreg_ctr AS (
+      -- CENTERED normal equations (round-6 ADVICE): bx/by are shifted to
+      -- their means before forming the 2x2 system, which keeps the
+      -- conditioning benign (the raw 3x3 Cramer expansion squares the
+      -- condition number of [1, x, y] with large absolute block coords);
+      -- p0 is un-shifted afterwards. cxx*cyy - cxy^2 = 0 exactly iff the
+      -- kept blocks are collinear — the engine's lstsq then returns the
+      -- min-norm solution (not SQL-expressible), so the determinant guard
+      -- emits NULL and the driver compare fails ATTRIBUTABLY on those
+      -- rows instead of dividing by zero.
       SELECT grain, pair, kn,
-        (sz  * (sxx*syy - sxy*sxy) - sxz * (sx*syy - sy*sxy)
-             + syz * (sx*sxy - sy*sxx))
-        / (kn * (sxx*syy - sxy*sxy) - sx  * (sx*syy - sxy*sy)
-             + sy  * (sx*sxy - sxx*sy)) AS p0,
-        (kn * (sxz*syy - sxy*syz) - sz * (sx*syy - sxy*sy)
-             + sy * (sx*syz - sxz*sy))
-        / (kn * (sxx*syy - sxy*sxy) - sx * (sx*syy - sxy*sy)
-             + sy * (sx*sxy - sxx*sy)) AS p1,
-        (kn * (sxx*syz - sxz*sxy) - sx * (sx*syz - sxz*sy)
-             + sz * (sx*sxy - sxx*sy))
-        / (kn * (sxx*syy - sxy*sxy) - sx * (sx*syy - sxy*sy)
-             + sy * (sx*sxy - sxx*sy)) AS p2
+             sx / kn AS mx, sy / kn AS my, sz / kn AS mz,
+             sxx - sx * sx / kn AS cxx,
+             sxy - sx * sy / kn AS cxy,
+             syy - sy * sy / kn AS cyy,
+             sxz - sx * sz / kn AS cxz,
+             syz - sy * sz / kn AS cyz
       FROM coreg_ks),
+    coreg_sol AS (
+      SELECT grain, pair, kn, mz,
+        CASE WHEN abs(cxx * cyy - cxy * cxy)
+                  > 1e-12 * greatest(abs(cxx * cyy), 1e-300)
+             THEN (cxz * cyy - cxy * cyz) / (cxx * cyy - cxy * cxy) END AS p1,
+        CASE WHEN abs(cxx * cyy - cxy * cxy)
+                  > 1e-12 * greatest(abs(cxx * cyy), 1e-300)
+             THEN (cxx * cyz - cxy * cxz) / (cxx * cyy - cxy * cxy) END AS p2,
+        mx, my
+      FROM coreg_ctr),
+    coreg_solf AS (
+      SELECT grain, pair, kn,
+             mz - p1 * mx - p2 * my AS p0, p1, p2
+      FROM coreg_sol),
     coreg_rmse AS (
       SELECT k.grain, k.pair,
              sqrt(avg((k.dz - (s.p0 + s.p1*k.x + s.p2*k.y))
                     * (k.dz - (s.p0 + s.p1*k.x + s.p2*k.y)))) AS rmse
-      FROM coreg_kept k JOIN coreg_sol s
+      FROM coreg_kept k JOIN coreg_solf s
         ON k.grain = s.grain AND k.pair = s.pair
       GROUP BY k.grain, k.pair),
     coreg_fin AS (
@@ -1298,7 +1315,7 @@ _COREG_CTES = f"""
       FROM coreg_pair p
       LEFT JOIN coreg_st st ON p.grain = st.grain AND p.pair = st.pair
       LEFT JOIN coreg_ks ks ON p.grain = ks.grain AND p.pair = ks.pair
-      LEFT JOIN coreg_sol s ON p.grain = s.grain AND p.pair = s.pair
+      LEFT JOIN coreg_solf s ON p.grain = s.grain AND p.pair = s.pair
       LEFT JOIN coreg_rmse r ON p.grain = r.grain AND p.pair = r.pair)"""
 
 ORACLES["q_coregister"] = _with_cells(
