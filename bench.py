@@ -205,6 +205,17 @@ def run_bench(parallelism: int, sf_dir: str) -> dict:
         activate_bucketed_pages(spark, "bench_pages_bucketed", bench_dir)
     n_pages = spark.read.parquet(f"{bench_dir}/documents.parquet").count()
     qs = headline_queries()
+    # SPARK_GRAFT_STAGES="a,b,c": run a stage subset (scale probes at big
+    # AMP target only the stages whose 10x curve measured flat — re-running
+    # a known-pathological stage at 100x would just burn the wall-clock)
+    subset = os.environ.get("SPARK_GRAFT_STAGES", "")
+    if subset:
+        names = [s.strip() for s in subset.split(",") if s.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise ValueError(f"SPARK_GRAFT_STAGES unknown: {unknown}; "
+                             f"have {sorted(qs)}")
+        qs = {n: qs[n] for n in names}
     times: dict[str, float] = {}
     totals = []
     for _ in range(max(1, BENCH_PASSES)):
@@ -312,6 +323,14 @@ SCALE_INPUT_PARTS = 128
 SCALE_SHUFFLE_PARTS = 64
 
 
+# Scaling-suite input layout (round 6): default = the bucketed pages table
+# (the engine's default execution path — the suite should measure the plan
+# shape production runs); 'flat' keeps the memory-persisted control. The
+# layout write is the once-per-ingest job, excluded from stage timing, and
+# reused across the suite's fresh-JVM reps via the marker protocol.
+SCALE_LAYOUT = os.environ.get("SPARK_GRAFT_SCALE_LAYOUT", "bucketed")
+
+
 def run_scaling_single(parallelism: int, n_rows: int) -> dict:
     """Compute-bound scaling workload over deterministic synthetic pages
     (the sf0.1 parquet is only ~5k rows / 1 input split — too small to
@@ -334,9 +353,21 @@ def run_scaling_single(parallelism: int, n_rows: int) -> dict:
             "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g"),
         })
-    df = synthetic_pages(spark, n_rows, partitions=SCALE_INPUT_PARTS)
-    df = df.persist()
-    df.count()  # materialize once so stages time pure operator work
+    use_stored = SCALE_LAYOUT == "bucketed"
+    if use_stored:
+        from setsm_postprocessing_python_spark.sources import bucketed as B
+
+        df, _ = B.ensure_bucketed(
+            spark, f"/tmp/scale_layout/n{n_rows}", "scale_pages_bucketed",
+            build=lambda: synthetic_pages(
+                spark, n_rows, partitions=SCALE_INPUT_PARTS)
+                .withColumn("block", B.block_expr()),
+            meta={"n_rows": n_rows, "block_shift": B.BLOCK_SHIFT},
+            n_buckets=32)
+    else:
+        df = synthetic_pages(spark, n_rows, partitions=SCALE_INPUT_PARTS)
+        df = df.persist()
+        df.count()  # materialize once so stages time pure operator work
     tiles = OT.fixed_depth_tiles()
     stages = {
         "tile_assign_pip": lambda: OT.assign_tiles_pip(df, tiles)
@@ -344,7 +375,8 @@ def run_scaling_single(parallelism: int, n_rows: int) -> dict:
         "tile_counts": lambda: OT.assign_tiles_quadkey(df)
             .groupBy("tile_id").agg(F.count(F.lit(1)).alias("n_pages"),
                                     F.countDistinct("group_id").alias("n_hosts")),
-        "knn": lambda: OK.knn_join_blocked(df, k=3, ring=1),
+        "knn": lambda: OK.knn_join_blocked(df, k=3, ring=1,
+                                           use_stored_block=use_stored),
         "ring_density": lambda: ON.ring_density(df, ring=1),
         "flags_census": lambda: OF.unset_bits(OF.with_flags(df), nowater=True)
             .groupBy("group_id").agg(F.expr("bit_or(flags)").alias("fm"),
@@ -370,7 +402,7 @@ def run_scaling_single(parallelism: int, n_rows: int) -> dict:
     spark.stop()
     return {"value": total, "queries": times, "pages": n_rows,
             "pages_per_sec": round(n_rows * len(stages) / total, 1),
-            "parallelism": parallelism}
+            "parallelism": parallelism, "layout": SCALE_LAYOUT}
 
 
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
@@ -402,7 +434,12 @@ def run_scaling(sf_dir: str) -> None:
     md = ["# BENCH — measured baseline (sandbox)", "",
           f"Input: {results[SCALE_4N]['pages']} deterministic synthetic pages"
           " (sources/datagen.py, seed 42), same input, identical partitioning"
-          f" (ip={SCALE_INPUT_PARTS}, sp={SCALE_SHUFFLE_PARTS}) at both",
+          f" (ip={SCALE_INPUT_PARTS}, sp={SCALE_SHUFFLE_PARTS}),"
+          f" layout={SCALE_LAYOUT} (round 6: the suite reads the bucketed"
+          " pages table — the engine's default execution path — with the"
+          " kNN probe joining on the stored block; the one-time layout"
+          " write is excluded from stage timing and reused across reps"
+          " via the marker protocol) at both",
           "parallelism levels (fresh JVM each); per-stage time = min of 3 reps",
           f"within a run; per-level total = min over {SCALE_REPS} alternating",
           "fresh-JVM runs (the sandbox hypervisor has transient multi-minute",

@@ -105,21 +105,22 @@ def _schema_ddl(df: DataFrame) -> str:
                      for f in df.schema.fields)
 
 
-def ensure_bucketed_pages(spark: SparkSession, sf_dir: str, path: str,
-                          table: str = "pages_bucketed",
-                          n_buckets: int = 8,
-                          block_shift: int = BLOCK_SHIFT,
-                          ) -> tuple[DataFrame, bool]:
-    """Idempotent, kill-safe layout job. Returns (table_df, did_write).
+def ensure_bucketed(spark: SparkSession, path: str, table: str,
+                    build, meta: dict, n_buckets: int = 8,
+                    key: str = "block") -> tuple[DataFrame, bool]:
+    """Generic idempotent, kill-safe layout job. Returns
+    (table_df, did_write). `build()` produces the frame to lay out;
+    `meta` identifies the input (staleness check — a marker recording a
+    different corpus/grain is rewritten, not trusted).
 
-    - Marker present AND it records the same (sf_dir, n_buckets,
-      block_shift): the files are trusted complete; the catalog entry is
-      (re)created via DDL if this session does not have it (the sandbox
-      in-memory catalog dies with the session; the files + marker are the
-      durable state — in production this is the Iceberg table metadata).
-      The DDL re-registration declares the SAME bucket spec, so a fresh
-      session's scans still report HashPartitioning(block, N) and keep
-      the shuffle elimination (pinned in tests/test_plan_shapes.py).
+    - Marker present AND meta matches: the files are trusted complete;
+      the catalog entry is (re)created via DDL if this session does not
+      have it (the sandbox in-memory catalog dies with the session; the
+      files + marker are the durable state — in production this is the
+      Iceberg table metadata). The DDL re-registration declares the SAME
+      bucket spec, so a fresh session's scans still report
+      HashPartitioning(key, N) and keep the shuffle elimination (pinned
+      in tests/test_plan_shapes.py).
     - Marker absent or stale (a killed/partial write, or a different
       corpus/grain): remove-incomplete semantics — drop the table, delete
       the dir, rewrite, then write the marker LAST. A SIGKILL at any
@@ -128,26 +129,34 @@ def ensure_bucketed_pages(spark: SparkSession, sf_dir: str, path: str,
     """
     p = Path(path)
     marker = p / LAYOUT_MARKER
+    want = {**meta, "n_buckets": n_buckets, "key": key}
     if marker.exists():
-        meta = json.loads(marker.read_text())
-        if (meta.get("sf_dir") == sf_dir
-                and meta.get("n_buckets") == n_buckets
-                and meta.get("block_shift") == block_shift):
+        rec = json.loads(marker.read_text())
+        if {k: rec.get(k) for k in want} == want:
             if not spark.catalog.tableExists(table):
                 spark.sql(
-                    f"CREATE TABLE {table} ({meta['ddl']}) USING parquet "
-                    f"CLUSTERED BY ({meta['key']}) SORTED BY ({meta['key']}) "
+                    f"CREATE TABLE {table} ({rec['ddl']}) USING parquet "
+                    f"CLUSTERED BY ({rec['key']}) SORTED BY ({rec['key']}) "
                     f"INTO {n_buckets} BUCKETS LOCATION '{path}'")
             return spark.table(table), False
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     shutil.rmtree(p, ignore_errors=True)
-    tbl = write_bucketed_pages(spark, sf_dir, path, table, n_buckets,
-                               block_shift)
-    marker.write_text(json.dumps({
-        "sf_dir": sf_dir, "n_buckets": n_buckets,
-        "block_shift": block_shift, "key": "block",
-        "ddl": _schema_ddl(tbl)}))
+    tbl = write_bucketed(spark, build(), path, table, n_buckets, key)
+    marker.write_text(json.dumps({**want, "ddl": _schema_ddl(tbl)}))
     return tbl, True
+
+
+def ensure_bucketed_pages(spark: SparkSession, sf_dir: str, path: str,
+                          table: str = "pages_bucketed",
+                          n_buckets: int = 8,
+                          block_shift: int = BLOCK_SHIFT,
+                          ) -> tuple[DataFrame, bool]:
+    """The pages-table layout job (see ensure_bucketed)."""
+    return ensure_bucketed(
+        spark, path, table,
+        build=lambda: blocked_pages(spark, sf_dir, block_shift),
+        meta={"sf_dir": sf_dir, "block_shift": block_shift},
+        n_buckets=n_buckets)
 
 
 def activate_bucketed_pages(spark: SparkSession, table: str,
