@@ -133,17 +133,99 @@ def ensure_bucketed(spark: SparkSession, path: str, table: str,
     if marker.exists():
         rec = json.loads(marker.read_text())
         if {k: rec.get(k) for k in want} == want:
-            if not spark.catalog.tableExists(table):
-                spark.sql(
-                    f"CREATE TABLE {table} ({rec['ddl']}) USING parquet "
-                    f"CLUSTERED BY ({rec['key']}) SORTED BY ({rec['key']}) "
-                    f"INTO {n_buckets} BUCKETS LOCATION '{path}'")
+            _register_table(spark, table, rec, path)
             return spark.table(table), False
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     shutil.rmtree(p, ignore_errors=True)
     tbl = write_bucketed(spark, build(), path, table, n_buckets, key)
-    marker.write_text(json.dumps({**want, "ddl": _schema_ddl(tbl)}))
+    marker.write_text(json.dumps({**want, "ddl": _schema_ddl(tbl),
+                                  "files": _data_files(p), "ingests": []}))
     return tbl, True
+
+
+def _data_files(p: Path) -> list[str]:
+    """The layout's data-file set (part-* names; _SUCCESS / .crc shadow
+    files / the marker are protocol bookkeeping, not data)."""
+    return sorted(f.name for f in p.iterdir() if f.name.startswith("part-"))
+
+
+def _register_table(spark: SparkSession, table: str, rec: dict,
+                    path: str) -> None:
+    """DDL re-registration of a trusted layout in a fresh session's
+    in-memory catalog — declares the SAME bucket spec so scans keep
+    reporting HashPartitioning(key, N)."""
+    if not spark.catalog.tableExists(table):
+        spark.sql(
+            f"CREATE TABLE {table} ({rec['ddl']}) USING parquet "
+            f"CLUSTERED BY ({rec['key']}) SORTED BY ({rec['key']}) "
+            f"INTO {rec['n_buckets']} BUCKETS LOCATION '{path}'")
+
+
+def ensure_bucketed_ingest(spark: SparkSession, path: str, table: str,
+                           build, ingest_id: str, n_buckets: int = 8,
+                           key: str = "block") -> tuple[DataFrame, bool]:
+    """Idempotent, kill-safe INCREMENTAL append to an existing bucketed
+    layout — the daily-ingest job at 10^12 rows, where rewriting the
+    whole table per batch is not an option. In production this is an
+    Iceberg append commit into the same `bucket(N, key)` spec; here it is
+    a `mode("append").bucketBy(...)` write (one extra file per bucket per
+    ingest — the shuffle-elimination contract is a TABLE property, so
+    block-keyed joins stay Exchange-free over any number of ingests).
+
+    Exactly-once protocol (single writer) — the `.fin`/checkfile dedup
+    semantics (reference batch_scenes2strips.py:1518-1533, 1190-1203)
+    applied to appends. The marker records the known-good data-file set
+    (`files`) and the applied ingest ids (`ingests`):
+
+      1. any data file NOT in marker.files is a torn or
+         committed-but-unrecorded append -> removed (remove-incomplete),
+         along with its .crc shadow and any _temporary staging;
+      2. ingest_id in marker.ingests -> no-op (the checkfile);
+      3. else append, then record files+ingest LAST.
+
+    A SIGKILL at any point leaves either (recorded files + recorded
+    ingest) or a state step 1 cleans and step 3 redoes — never
+    duplicated rows, never a half-visible ingest. Markers written before
+    this protocol existed adopt their current file set as known-good.
+
+    Returns (table_df, did_append).
+    """
+    p = Path(path)
+    marker = p / LAYOUT_MARKER
+    if not marker.exists():
+        raise ValueError(
+            f"no completed layout at {path}: run ensure_bucketed first "
+            f"(ingest extends a layout, it does not create one)")
+    rec = json.loads(marker.read_text())
+    if rec.get("n_buckets") != n_buckets or rec.get("key") != key:
+        raise ValueError(
+            f"layout at {path} is bucket({rec.get('n_buckets')}, "
+            f"{rec.get('key')}), ingest asked for bucket({n_buckets}, "
+            f"{key}) — appends must match the table's spec")
+    if "files" not in rec:  # pre-protocol marker: adopt current set
+        rec["files"] = _data_files(p)
+        rec.setdefault("ingests", [])
+        marker.write_text(json.dumps(rec))
+    shutil.rmtree(p / "_temporary", ignore_errors=True)
+    orphans = set(_data_files(p)) - set(rec["files"])
+    for name in orphans:
+        (p / name).unlink(missing_ok=True)
+        (p / f".{name}.crc").unlink(missing_ok=True)
+    _register_table(spark, table, rec, path)
+    if orphans:
+        spark.catalog.refreshTable(table)
+    if ingest_id in rec.get("ingests", []):
+        return spark.table(table), False
+    (build().repartition(n_buckets, F.col(key))
+            .write.mode("append")
+            .bucketBy(n_buckets, key).sortBy(key)
+            .option("path", path).format("parquet")
+            .saveAsTable(table))
+    spark.catalog.refreshTable(table)
+    rec["files"] = _data_files(p)
+    rec["ingests"] = rec.get("ingests", []) + [ingest_id]
+    marker.write_text(json.dumps(rec))
+    return spark.table(table), True
 
 
 def ensure_bucketed_pages(spark: SparkSession, sf_dir: str, path: str,
