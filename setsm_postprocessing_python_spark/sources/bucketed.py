@@ -74,18 +74,30 @@ def blocked_pages(spark: SparkSession, sf_dir: str,
 
 def write_bucketed(spark: SparkSession, df: DataFrame, path: str,
                    table: str, n_buckets: int = 8,
-                   key: str = "block") -> DataFrame:
+                   key: str = "block",
+                   partition_by: str | None = None) -> DataFrame:
     """Write any frame bucketed (and sorted) by `key`, return the catalog
     table. At 10^12 rows this is the once-per-ingest layout job whose cost
     every downstream spatial join amortizes; n_buckets would be sized so
     each bucket is a few hundred MB (here 8 matches the test session's
-    parallelism)."""
+    parallelism).
+
+    `partition_by` adds a directory-partition dimension ON TOP of the
+    bucketing — the full Iceberg `days(ts) x bucket(N, key)` analogue: a
+    time filter prunes whole partition directories at planning time
+    (PartitionFilters in the scan) while block-keyed equi-joins still
+    plan ZERO probe Exchanges, because bucketing is a table property
+    carried by every file regardless of which partition dir holds it
+    (both pinned in tests/test_bucketed_partitioned.py). For a web-crawl
+    corpus this is the production layout: queries over a crawl window
+    never list, open, or schedule the other 99% of the table."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    (df.repartition(n_buckets, F.col(key))
-       .write.mode("overwrite")
-       .bucketBy(n_buckets, key).sortBy(key)
-       .option("path", path).format("parquet")
-       .saveAsTable(table))
+    w = df.repartition(n_buckets, F.col(key)).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    (w.bucketBy(n_buckets, key).sortBy(key)
+      .option("path", path).format("parquet")
+      .saveAsTable(table))
     return spark.table(table)
 
 
@@ -107,7 +119,9 @@ def _schema_ddl(df: DataFrame) -> str:
 
 def ensure_bucketed(spark: SparkSession, path: str, table: str,
                     build, meta: dict, n_buckets: int = 8,
-                    key: str = "block") -> tuple[DataFrame, bool]:
+                    key: str = "block",
+                    partition_by: str | None = None
+                    ) -> tuple[DataFrame, bool]:
     """Generic idempotent, kill-safe layout job. Returns
     (table_df, did_write). `build()` produces the frame to lay out;
     `meta` identifies the input (staleness check — a marker recording a
@@ -129,7 +143,8 @@ def ensure_bucketed(spark: SparkSession, path: str, table: str,
     """
     p = Path(path)
     marker = p / LAYOUT_MARKER
-    want = {**meta, "n_buckets": n_buckets, "key": key}
+    want = {**meta, "n_buckets": n_buckets, "key": key,
+            "partition_by": partition_by}
     if marker.exists():
         rec = json.loads(marker.read_text())
         if {k: rec.get(k) for k in want} == want:
@@ -137,28 +152,38 @@ def ensure_bucketed(spark: SparkSession, path: str, table: str,
             return spark.table(table), False
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     shutil.rmtree(p, ignore_errors=True)
-    tbl = write_bucketed(spark, build(), path, table, n_buckets, key)
+    tbl = write_bucketed(spark, build(), path, table, n_buckets, key,
+                         partition_by=partition_by)
     marker.write_text(json.dumps({**want, "ddl": _schema_ddl(tbl),
                                   "files": _data_files(p), "ingests": []}))
     return tbl, True
 
 
 def _data_files(p: Path) -> list[str]:
-    """The layout's data-file set (part-* names; _SUCCESS / .crc shadow
-    files / the marker are protocol bookkeeping, not data)."""
-    return sorted(f.name for f in p.iterdir() if f.name.startswith("part-"))
+    """The layout's data-file set (part-* paths relative to the table
+    root — one level deep for flat layouts, under partition dirs for
+    partitioned ones; _SUCCESS / .crc shadows / the marker are protocol
+    bookkeeping, not data)."""
+    return sorted(str(f.relative_to(p)) for f in p.rglob("part-*")
+                  if "_temporary" not in f.parts)
 
 
 def _register_table(spark: SparkSession, table: str, rec: dict,
                     path: str) -> None:
     """DDL re-registration of a trusted layout in a fresh session's
     in-memory catalog — declares the SAME bucket spec so scans keep
-    reporting HashPartitioning(key, N)."""
+    reporting HashPartitioning(key, N); partitioned layouts also recover
+    their partition dirs (catalog-tracked partitions, not dir listing,
+    drive partitioned scans)."""
     if not spark.catalog.tableExists(table):
+        part = (f"PARTITIONED BY ({rec['partition_by']}) "
+                if rec.get("partition_by") else "")
         spark.sql(
             f"CREATE TABLE {table} ({rec['ddl']}) USING parquet "
-            f"CLUSTERED BY ({rec['key']}) SORTED BY ({rec['key']}) "
+            f"{part}CLUSTERED BY ({rec['key']}) SORTED BY ({rec['key']}) "
             f"INTO {rec['n_buckets']} BUCKETS LOCATION '{path}'")
+        if rec.get("partition_by"):
+            spark.sql(f"MSCK REPAIR TABLE {table}")
 
 
 def ensure_bucketed_ingest(spark: SparkSession, path: str, table: str,
@@ -208,19 +233,26 @@ def ensure_bucketed_ingest(spark: SparkSession, path: str, table: str,
         marker.write_text(json.dumps(rec))
     shutil.rmtree(p / "_temporary", ignore_errors=True)
     orphans = set(_data_files(p)) - set(rec["files"])
-    for name in orphans:
-        (p / name).unlink(missing_ok=True)
-        (p / f".{name}.crc").unlink(missing_ok=True)
+    for rel in orphans:
+        f = p / rel
+        f.unlink(missing_ok=True)
+        (f.parent / f".{f.name}.crc").unlink(missing_ok=True)
     _register_table(spark, table, rec, path)
     if orphans:
         spark.catalog.refreshTable(table)
     if ingest_id in rec.get("ingests", []):
         return spark.table(table), False
-    (build().repartition(n_buckets, F.col(key))
-            .write.mode("append")
-            .bucketBy(n_buckets, key).sortBy(key)
-            .option("path", path).format("parquet")
-            .saveAsTable(table))
+    w = (build().repartition(n_buckets, F.col(key))
+         .write.mode("append"))
+    if rec.get("partition_by"):
+        w = w.partitionBy(rec["partition_by"])
+    (w.bucketBy(n_buckets, key).sortBy(key)
+      .option("path", path).format("parquet")
+      .saveAsTable(table))
+    if rec.get("partition_by"):
+        # an ingest may CREATE partition dirs; catalog-tracked partitions
+        # must be recovered before the files are visible to scans
+        spark.sql(f"MSCK REPAIR TABLE {table}")
     spark.catalog.refreshTable(table)
     rec["files"] = _data_files(p)
     rec["ingests"] = rec.get("ingests", []) + [ingest_id]
@@ -239,6 +271,33 @@ def ensure_bucketed_pages(spark: SparkSession, sf_dir: str, path: str,
         build=lambda: blocked_pages(spark, sf_dir, block_shift),
         meta={"sf_dir": sf_dir, "block_shift": block_shift},
         n_buckets=n_buckets)
+
+
+def ensure_bucketed_pages_by_day(spark: SparkSession, sf_dir: str,
+                                 path: str,
+                                 table: str = "pages_bucketed_day",
+                                 n_buckets: int = 8,
+                                 block_shift: int = BLOCK_SHIFT,
+                                 ) -> tuple[DataFrame, bool]:
+    """The pages layout in the full Iceberg `days(ts) x bucket(N, block)`
+    shape: warc-day directory partitions OVER block bucketing. A crawl-
+    window filter prunes whole day directories at planning time while
+    block-keyed spatial joins still plan zero probe Exchanges — at 100 TB
+    a one-week query over a three-year crawl never lists, opens, or
+    schedules the other ~99% of the table. Daily ingests append a new
+    day dir via ensure_bucketed_ingest (exactly-once, kill-safe).
+
+    Not the registry default: the driver corpora span a handful of
+    synthetic days, so the flat-bucketed layout measures the join lever
+    without tiny-partition overhead; a real time-spanning corpus wants
+    this variant (pinned in tests/test_bucketed_partitioned.py)."""
+    return ensure_bucketed(
+        spark, path, table,
+        build=lambda: blocked_pages(spark, sf_dir, block_shift)
+            .withColumn("warc_day", F.to_date("warc_ts")),
+        meta={"sf_dir": sf_dir, "block_shift": block_shift,
+              "grain": "day"},
+        n_buckets=n_buckets, partition_by="warc_day")
 
 
 def activate_bucketed_pages(spark: SparkSession, table: str,

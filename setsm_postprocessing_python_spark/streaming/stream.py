@@ -85,6 +85,54 @@ def read_exactly_once_output(spark: SparkSession, out_dir: str,
             .where(F.col("_rn") == 1).drop("_rn"))
 
 
+def write_stream_into_layout(stream: DataFrame, path: str, table: str,
+                             checkpoint_dir: str, n_buckets: int = 8,
+                             key: str = "block"):
+    """foreachBatch sink that maintains the BUCKETED LAYOUT incrementally:
+    each micro-batch is an ensure_bucketed_ingest append with the batch id
+    as the ingest id. Structured Streaming replays the last uncommitted
+    batch after a crash; the marker protocol turns the replay into a no-op
+    (recorded ingest) or a clean redo (torn append removed first), so the
+    layout stays exactly-once END TO END — and every appended batch keeps
+    the bucket spec, so downstream block-keyed joins stay Exchange-free as
+    the table grows (tests/test_streaming_layout.py).
+
+    This is the streaming counterpart of the once-per-corpus layout job:
+    at 100 TB the crawl arrives continuously, and re-running the full
+    layout per day is not an option — this sink is the Iceberg
+    `append()`-per-commit shape on the same bucket(N, key) table.
+
+    The base layout must exist (ensure_bucketed, e.g. over the static
+    seed corpus or an empty limit(0) slice of the stream schema): an
+    ingest extends a layout, it never bootstraps one — bootstrap inside
+    a replayed batch could double-apply the first batch.
+
+    foreachBatch hands each batch a CLONED session; the ingest's
+    refreshTable invalidates only that clone's relation cache, so the
+    originating session would keep serving its pre-stream file listing
+    (observed: table reads 0 rows while the disk holds every batch).
+    The sink therefore also refreshes the source session after each
+    ingest — metadata-only, O(files). Sessions other than the stream's
+    own must refreshTable (or open a fresh session) before reading, the
+    standard external-writer rule for catalog parquet tables.
+    """
+    from ..sources import bucketed as B
+
+    origin = stream.sparkSession
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        B.ensure_bucketed_ingest(
+            df.sparkSession, path, table, build=lambda: df,
+            ingest_id=f"stream-batch-{batch_id}",
+            n_buckets=n_buckets, key=key)
+        origin.catalog.refreshTable(table)
+
+    return (stream.writeStream
+            .foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir))
+
+
 def incremental_tile_counts(stream: DataFrame, window: str = "10 minutes",
                             watermark: str = "1 hour") -> DataFrame:
     """Streaming version of the mosaic-tile rollup: geocode + quadkey tile
