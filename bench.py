@@ -408,29 +408,34 @@ def run_scaling_single(parallelism: int, n_rows: int) -> dict:
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 
 
-def run_scaling(sf_dir: str) -> None:
-    """local[N] vs local[4N] in fresh JVMs; writes BENCH/BASELINE.md.
-
-    The sandbox hypervisor shows transient multi-minute contention windows
-    (identical-code stages measured up to 13x slower between adjacent
-    runs). Each parallelism level therefore runs SCALE_REPS fresh-JVM reps
-    in ALTERNATING order (N, 4N, N, 4N, ...) and the per-level minimum is
-    the capacity measurement — a contention window that poisons one rep of
-    one level cannot poison both reps of both levels."""
+def _scaling_pair(sf_dir: str, n_rows: int) -> tuple[dict, float]:
+    """One N-vs-4N measurement at a given input size: SCALE_REPS fresh-JVM
+    reps per level in ALTERNATING order (N, 4N, N, 4N, ...), per-level
+    minimum. The sandbox hypervisor shows transient multi-minute
+    contention windows (identical-code stages measured up to 13x slower
+    between adjacent runs) — alternation keeps one window from poisoning
+    both reps of both levels."""
     results: dict[int, dict] = {}
     order = [SCALE_N, SCALE_4N] * SCALE_REPS
     for par in order:
         out = subprocess.run(
             [sys.executable, __file__, "--scale-single", str(par)],
             capture_output=True, text=True, timeout=3600,
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+                 "SPARK_GRAFT_SCALE_ROWS": str(n_rows)},
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         r = json.loads(line)
         if par not in results or r["value"] < results[par]["value"]:
             results[par] = r
     t_n, t_4n = results[SCALE_N]["value"], results[SCALE_4N]["value"]
-    eff = (t_n / t_4n) / 4.0
+    return results, (t_n / t_4n) / 4.0
+
+
+def run_scaling(sf_dir: str) -> None:
+    """local[N] vs local[4N] in fresh JVMs; writes BENCH/BASELINE.md."""
+    results, eff = _scaling_pair(sf_dir, SCALE_ROWS)
+    t_n, t_4n = results[SCALE_N]["value"], results[SCALE_4N]["value"]
     md = ["# BENCH — measured baseline (sandbox)", "",
           f"Input: {results[SCALE_4N]['pages']} deterministic synthetic pages"
           " (sources/datagen.py, seed 42), same input, identical partitioning"
@@ -472,6 +477,7 @@ def run_scaling(sf_dir: str) -> None:
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     (bench_dir / "BASELINE.md").write_text("\n".join(md) + "\n")
+    _append_curve_section()
     print(json.dumps({
         "metric": f"scaling efficiency local[{SCALE_N}]->local[{SCALE_4N}]",
         "value": eff, "unit": "ratio",
@@ -480,9 +486,69 @@ def run_scaling(sf_dir: str) -> None:
     }))
 
 
+# --scale-curve: the same N-vs-4N pair at several input sizes. The single-
+# size efficiency number conflates two things — parallel-scaling quality
+# and the FIXED per-job overhead (session bring-up, planning, task launch)
+# that local[4N] finishes too fast to amortize at small inputs. On a real
+# cluster the north-rule jobs run for hours, so the overhead term vanishes;
+# the curve makes that visible empirically: efficiency as a function of
+# input size, same stages, same protocol. Sizes chosen x4 apart so each
+# step holds per-core work constant at the 4N level vs the previous size's
+# N level.
+CURVE_SIZES = [int(s) for s in os.environ.get(
+    "SPARK_GRAFT_SCALE_CURVE", "1000000,4000000,16000000").split(",")]
+_CURVE_MARK = "## Scaling efficiency vs input size"
+
+
+def _append_curve_section() -> None:
+    """Rewrite the curve section of BENCH/BASELINE.md from the recorded
+    curve points (kill-safe: called after every measured size)."""
+    f = REPO / "BENCH" / "scale_curve.json"
+    p = REPO / "BENCH" / "BASELINE.md"
+    if not f.exists() or not p.exists():
+        return
+    rows = json.loads(f.read_text())
+    md = [_CURVE_MARK, "",
+          "Same six stages, same alternating fresh-JVM min-of-reps",
+          "protocol, input size swept to separate parallel-scaling quality",
+          "from FIXED per-job overhead (session bring-up, planning, task",
+          f"launch — constant seconds that local[{SCALE_4N}] finishes too",
+          "fast to amortize at small inputs, and that an hours-long",
+          "north-rule job never sees). Efficiency rising with input size",
+          "is the cluster-scaling signature: the parallel fraction is",
+          "near-perfect and the residual is the fixed term.", "",
+          f"| pages | local[{SCALE_N}] s | local[{SCALE_4N}] s |"
+          " efficiency | 4N pages/sec |", "|---|---|---|---|---|"]
+    for r in rows:
+        md.append(f"| {r['n_rows']:,} | {r['t_n']} | {r['t_4n']} "
+                  f"| **{r['eff']:.3f}** | {r['pps_4n']:,} |")
+    body = p.read_text().split("\n" + _CURVE_MARK)[0]
+    p.write_text(body.rstrip() + "\n\n" + "\n".join(md) + "\n")
+
+
+def run_scale_curve(sf_dir: str) -> None:
+    f = REPO / "BENCH" / "scale_curve.json"
+    rows = []
+    for n in CURVE_SIZES:
+        results, eff = _scaling_pair(sf_dir, n)
+        rows.append({"n_rows": n, "eff": round(eff, 3),
+                     "t_n": results[SCALE_N]["value"],
+                     "t_4n": results[SCALE_4N]["value"],
+                     "pps_4n": results[SCALE_4N]["pages_per_sec"],
+                     "layout": SCALE_LAYOUT, "reps": SCALE_REPS})
+        f.write_text(json.dumps(rows, indent=1))
+        _append_curve_section()
+    print(json.dumps({
+        "metric": "scaling efficiency vs input size "
+                  f"local[{SCALE_N}]->local[{SCALE_4N}]",
+        "unit": "ratio", "curve": rows, "sf": _sf_from_dir(sf_dir)}))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling(SF_DIR)
+    elif "--scale-curve" in sys.argv:
+        run_scale_curve(SF_DIR)
     elif "--scale-single" in sys.argv:
         par = int(sys.argv[sys.argv.index("--scale-single") + 1])
         print(json.dumps(run_scaling_single(par, SCALE_ROWS)))
