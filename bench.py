@@ -56,6 +56,14 @@ BENCH_REV = os.environ.get(
     f"r6-amp{AMP}x{EMB_AMP}{'b' if LAYOUT == 'bucketed' else 'f'}")
     # rev derives from AMP + layout so scale probes and the flat control
     # key their own history rows
+_SUBSET_STAGES = sorted(
+    s.strip() for s in os.environ.get("SPARK_GRAFT_STAGES", "").split(",")
+    if s.strip())
+if _SUBSET_STAGES:
+    # A stage subset is a DIFFERENT workload: its tiny end-to-end total
+    # must never share a history rev with full-suite runs (it would poison
+    # the same-rev min PERQUERY.md reports as the comparable number).
+    BENCH_REV += "-sub." + ".".join(_SUBSET_STAGES)[:60]
 
 
 def amplified_dir(spark, sf_dir: str, amp: int, emb_amp: int) -> str:
@@ -208,14 +216,12 @@ def run_bench(parallelism: int, sf_dir: str) -> dict:
     # SPARK_GRAFT_STAGES="a,b,c": run a stage subset (scale probes at big
     # AMP target only the stages whose 10x curve measured flat — re-running
     # a known-pathological stage at 100x would just burn the wall-clock)
-    subset = os.environ.get("SPARK_GRAFT_STAGES", "")
-    if subset:
-        names = [s.strip() for s in subset.split(",") if s.strip()]
-        unknown = [n for n in names if n not in qs]
+    if _SUBSET_STAGES:
+        unknown = [n for n in _SUBSET_STAGES if n not in qs]
         if unknown:
             raise ValueError(f"SPARK_GRAFT_STAGES unknown: {unknown}; "
                              f"have {sorted(qs)}")
-        qs = {n: qs[n] for n in names}
+        qs = {n: qs[n] for n in _SUBSET_STAGES}
     times: dict[str, float] = {}
     totals = []
     for _ in range(max(1, BENCH_PASSES)):
@@ -526,17 +532,44 @@ def _append_curve_section() -> None:
     p.write_text(body.rstrip() + "\n\n" + "\n".join(md) + "\n")
 
 
+def _merge_curve_row(rows: list, new: dict) -> list:
+    """Merge a measured size into the recorded curve by PER-LEVEL minimum
+    (same rule as the pair itself: min over alternating fresh-JVM runs),
+    recomputing eff from the merged minima. Lets a single size be re-run
+    after a hypervisor contention window without discarding the rest of
+    the curve; reps accumulates so the provenance stays honest. Rows only
+    merge when the whole protocol matches (size, layout, N level) — a
+    different SCALE_N or layout keys its own row, never a min across
+    incomparable experiments."""
+    proto = ("n_rows", "layout", "scale_n")
+    for r in rows:
+        if all(r.get(k) == new.get(k) for k in proto):
+            t_n = min(r["t_n"], new["t_n"])
+            t_4n = min(r["t_4n"], new["t_4n"])
+            r.update(t_n=t_n, t_4n=t_4n, eff=round((t_n / t_4n) / 4.0, 3),
+                     pps_4n=max(r["pps_4n"], new["pps_4n"]),
+                     reps=r.get("reps", 0) + new["reps"])
+            break
+    else:
+        rows.append(new)
+    return sorted(rows, key=lambda r: r["n_rows"])
+
+
 def run_scale_curve(sf_dir: str) -> None:
     f = REPO / "BENCH" / "scale_curve.json"
-    rows = []
+    rows = json.loads(f.read_text()) if f.exists() else []
     for n in CURVE_SIZES:
         results, eff = _scaling_pair(sf_dir, n)
-        rows.append({"n_rows": n, "eff": round(eff, 3),
-                     "t_n": results[SCALE_N]["value"],
-                     "t_4n": results[SCALE_4N]["value"],
-                     "pps_4n": results[SCALE_4N]["pages_per_sec"],
-                     "layout": SCALE_LAYOUT, "reps": SCALE_REPS})
-        f.write_text(json.dumps(rows, indent=1))
+        rows = _merge_curve_row(rows, {
+            "n_rows": n, "eff": round(eff, 3),
+            "t_n": results[SCALE_N]["value"],
+            "t_4n": results[SCALE_4N]["value"],
+            "pps_4n": results[SCALE_4N]["pages_per_sec"],
+            "layout": SCALE_LAYOUT, "scale_n": SCALE_N,
+            "reps": SCALE_REPS})
+        tmp = f.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(rows, indent=1))
+        os.replace(tmp, f)
         _append_curve_section()
     print(json.dumps({
         "metric": "scaling efficiency vs input size "

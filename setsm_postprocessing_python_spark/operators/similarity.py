@@ -382,7 +382,9 @@ def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
     so candidate pairs grow with dup_group_size^2 while carrying zero
     information (measured: 34.6x wall at 10x data when replication rose
     8x -> 80x; BENCH/SCALE_PROBE.md). Before bucketing, one cheap
-    aggregate (count + approx_count_distinct over xxhash64(vec)) probes
+    aggregate (count + EXACT count_distinct over xxhash64(vec) — exact so
+    the gate is deterministic: approx_count_distinct's ~5% rsd would make
+    a near-threshold corpus crash or pass depending on the sketch) probes
     the duplication ratio; above the bound this raises and points the
     caller at ann_dedup_topk — the production composition whose collapse
     makes candidate volume a function of DISTINCT content (measured flat,
@@ -423,14 +425,14 @@ def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
     if dup_guard is not None:
         stats = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct(F.xxhash64(F.col(vec_col))).alias("nd"),
+            F.count_distinct(F.xxhash64(F.col(vec_col))).alias("nd"),
         ).first()
         ratio = stats["n"] / max(stats["nd"], 1)
         if ratio > dup_guard:
             raise ValueError(
-                f"lsh_topk: input duplication ratio ~{ratio:.1f} exceeds "
+                f"lsh_topk: input duplication ratio {ratio:.1f} exceeds "
                 f"dup_guard={dup_guard} ({stats['n']} rows, "
-                f"~{stats['nd']} distinct vectors). Raw LSH candidate "
+                f"{stats['nd']} distinct vectors). Raw LSH candidate "
                 "volume grows with dup_group_size^2 (measured 34.6x wall "
                 "at 10x data); use ann_dedup_topk (exact-dup collapse -> "
                 "LSH over distinct vectors, measured flat), or pass "

@@ -41,9 +41,15 @@ _TRACKED_CACHES: list = []
 def release_caches() -> None:
     """Unpersist every cache the registered heavy queries created. Call
     after materializing (collecting/writing) their results — releasing
-    earlier just forces a recompute. Idempotent."""
+    earlier just forces a recompute. Idempotent. A handle whose session
+    has already stopped is dropped silently — the tracked list spans
+    sessions in a long-lived process, and one dead handle must not leave
+    the live ones persisted."""
     while _TRACKED_CACHES:
-        _TRACKED_CACHES.pop().unpersist()
+        try:
+            _TRACKED_CACHES.pop().unpersist()
+        except Exception:
+            pass  # stopped session / already-freed handle
 
 
 def _with_cells(body: str, extra_ctes: str = "") -> str:

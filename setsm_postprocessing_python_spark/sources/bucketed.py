@@ -38,6 +38,7 @@ local CPU, not network.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 from pathlib import Path
 
@@ -54,6 +55,25 @@ BLOCK_SHIFT = 6  # matches operators/knn.BLOCK_SHIFT (64x64-cell blocks)
 # under the table path are a COMPLETE bucketed write for the recorded
 # corpus/grain; absent = remove-incomplete and rewrite
 LAYOUT_MARKER = "_LAYOUT_READY"
+
+
+def _write_marker(marker: Path, rec: dict) -> None:
+    """Atomic marker commit (write-to-temp + rename). The protocol's
+    'SIGKILL leaves (complete files + marker) or (no marker)' contract
+    requires the marker itself to appear atomically — a truncate-then-
+    write leaves a torn JSON that wedges every later ensure_* call."""
+    tmp = marker.with_name(marker.name + ".tmp")
+    tmp.write_text(json.dumps(rec))
+    os.replace(tmp, marker)
+
+
+def _read_marker(marker: Path) -> dict | None:
+    """None for absent OR torn markers (a torn marker is an incomplete
+    write by definition — the remove-incomplete path handles it)."""
+    try:
+        return json.loads(marker.read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 def block_expr(block_shift: int = BLOCK_SHIFT):
@@ -145,17 +165,29 @@ def ensure_bucketed(spark: SparkSession, path: str, table: str,
     marker = p / LAYOUT_MARKER
     want = {**meta, "n_buckets": n_buckets, "key": key,
             "partition_by": partition_by}
-    if marker.exists():
-        rec = json.loads(marker.read_text())
-        if {k: rec.get(k) for k in want} == want:
-            _register_table(spark, table, rec, path)
-            return spark.table(table), False
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    shutil.rmtree(p, ignore_errors=True)
-    tbl = write_bucketed(spark, build(), path, table, n_buckets, key,
-                         partition_by=partition_by)
-    marker.write_text(json.dumps({**want, "ddl": _schema_ddl(tbl),
-                                  "files": _data_files(p), "ingests": []}))
+    rec = _read_marker(marker)
+    if rec is not None and {k: rec.get(k) for k in want} == want:
+        _register_table(spark, table, rec, path)
+        return spark.table(table), False
+    # Rewrite path. If this session routes pages reads through the very
+    # table being rebuilt (activate_bucketed_pages), build() would resolve
+    # to the table we just dropped — deactivate for the duration and
+    # restore after (the restored activation then serves the fresh write).
+    act_tbl = spark.conf.get(BUCKETED_TABLE_CONF, None)
+    act_sf = spark.conf.get(BUCKETED_SFDIR_CONF, None)
+    if act_tbl == table:
+        deactivate_bucketed_pages(spark)
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(p, ignore_errors=True)
+        tbl = write_bucketed(spark, build(), path, table, n_buckets, key,
+                             partition_by=partition_by)
+        _write_marker(marker, {**want, "ddl": _schema_ddl(tbl),
+                               "files": _data_files(p), "ingests": []})
+    finally:
+        if act_tbl == table:
+            spark.conf.set(BUCKETED_TABLE_CONF, act_tbl)
+            spark.conf.set(BUCKETED_SFDIR_CONF, act_sf)
     return tbl, True
 
 
@@ -174,16 +206,36 @@ def _register_table(spark: SparkSession, table: str, rec: dict,
     in-memory catalog — declares the SAME bucket spec so scans keep
     reporting HashPartitioning(key, N); partitioned layouts also recover
     their partition dirs (catalog-tracked partitions, not dir listing,
-    drive partitioned scans)."""
-    if not spark.catalog.tableExists(table):
-        part = (f"PARTITIONED BY ({rec['partition_by']}) "
-                if rec.get("partition_by") else "")
-        spark.sql(
-            f"CREATE TABLE {table} ({rec['ddl']}) USING parquet "
-            f"{part}CLUSTERED BY ({rec['key']}) SORTED BY ({rec['key']}) "
-            f"INTO {rec['n_buckets']} BUCKETS LOCATION '{path}'")
-        if rec.get("partition_by"):
-            spark.sql(f"MSCK REPAIR TABLE {table}")
+    drive partitioned scans).
+
+    A pre-existing catalog entry is trusted only if its LOCATION is this
+    layout's path — the same table name registered for a different path
+    (another corpus/workdir in the same session) is dropped and
+    re-registered, not silently served."""
+    if spark.catalog.tableExists(table):
+        if _table_location(spark, table) == _norm_loc(path):
+            return
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    part = (f"PARTITIONED BY ({rec['partition_by']}) "
+            if rec.get("partition_by") else "")
+    spark.sql(
+        f"CREATE TABLE {table} ({rec['ddl']}) USING parquet "
+        f"{part}CLUSTERED BY ({rec['key']}) SORTED BY ({rec['key']}) "
+        f"INTO {rec['n_buckets']} BUCKETS LOCATION '{path}'")
+    if rec.get("partition_by"):
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+
+
+def _norm_loc(loc: str) -> str:
+    return loc.split("://")[-1].removeprefix("file:").rstrip("/")
+
+
+def _table_location(spark: SparkSession, table: str) -> str:
+    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    for r in rows:
+        if r.col_name.strip() == "Location":
+            return _norm_loc(r.data_type.strip())
+    return ""
 
 
 def ensure_bucketed_ingest(spark: SparkSession, path: str, table: str,
@@ -217,11 +269,11 @@ def ensure_bucketed_ingest(spark: SparkSession, path: str, table: str,
     """
     p = Path(path)
     marker = p / LAYOUT_MARKER
-    if not marker.exists():
+    rec = _read_marker(marker)
+    if rec is None:
         raise ValueError(
             f"no completed layout at {path}: run ensure_bucketed first "
             f"(ingest extends a layout, it does not create one)")
-    rec = json.loads(marker.read_text())
     if rec.get("n_buckets") != n_buckets or rec.get("key") != key:
         raise ValueError(
             f"layout at {path} is bucket({rec.get('n_buckets')}, "
@@ -230,7 +282,7 @@ def ensure_bucketed_ingest(spark: SparkSession, path: str, table: str,
     if "files" not in rec:  # pre-protocol marker: adopt current set
         rec["files"] = _data_files(p)
         rec.setdefault("ingests", [])
-        marker.write_text(json.dumps(rec))
+        _write_marker(marker, rec)
     shutil.rmtree(p / "_temporary", ignore_errors=True)
     orphans = set(_data_files(p)) - set(rec["files"])
     for rel in orphans:
@@ -256,7 +308,7 @@ def ensure_bucketed_ingest(spark: SparkSession, path: str, table: str,
     spark.catalog.refreshTable(table)
     rec["files"] = _data_files(p)
     rec["ingests"] = rec.get("ingests", []) + [ingest_id]
-    marker.write_text(json.dumps(rec))
+    _write_marker(marker, rec)
     return spark.table(table), True
 
 

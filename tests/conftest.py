@@ -19,3 +19,15 @@ def spark():
     s = get_spark(parallelism=8, app_name="pytest", shuffle_partitions=8)
     yield s
     s.stop()
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Pin broadcast off: at 100 TB both join sides are far past any
+    broadcast threshold, so tiny-data plan-shape tests must force the
+    shuffle-join plan the claim is about (with broadcast on, the planner
+    rightly prefers it and disables the bucketed scan as useless)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

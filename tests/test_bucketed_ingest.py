@@ -25,29 +25,16 @@ from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
+from setsm_postprocessing_python_spark.plans.planview import (
+    formatted_plan, n_exchanges)
 
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(df):
-    from setsm_postprocessing_python_spark.plans.planview import (
-        formatted_plan)
-
-    return formatted_plan(df)
 
 
-def _n_exchanges(plan):
-    from setsm_postprocessing_python_spark.plans.planview import n_exchanges
-
-    return n_exchanges(plan)
 
 
-@pytest.fixture()
-def no_broadcast(spark):
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    yield
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def _block_join_count(df):
@@ -92,9 +79,9 @@ def test_ingest_appends_exactly_once_and_keeps_plan(
         assert tbl2.exceptAll(full).isEmpty()
         assert full.exceptAll(tbl2).isEmpty()
         # the 100 TB claim: still ZERO Exchanges with 2 files/bucket
-        plan = _plan(_block_join_count(tbl2))
+        plan = formatted_plan(_block_join_count(tbl2))
         assert "Bucketed: true" in plan
-        assert _n_exchanges(plan) == 0
+        assert n_exchanges(plan) == 0
 
         # replay: the checkfile makes it a no-op
         tbl3, did3 = B.ensure_bucketed_ingest(
@@ -110,7 +97,7 @@ def test_ingest_appends_exactly_once_and_keeps_plan(
             ingest_id="half1", n_buckets=4)
         assert not did4
         assert tbl4.count() == n_full
-        assert _n_exchanges(_plan(_block_join_count(tbl4))) == 0
+        assert n_exchanges(formatted_plan(_block_join_count(tbl4))) == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
@@ -204,3 +191,93 @@ def test_ingest_adopts_pre_protocol_marker(spark, tmp_path):
         assert tbl2.count() == n_full  # base files survived adoption
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_register_rejects_same_name_different_path(spark, tmp_path):
+    """A catalog entry is trusted only if its LOCATION is the layout's
+    path: the same table name registered for another workdir/corpus in
+    this session must be re-pointed, not silently served (the failure
+    mode: ensure_bucketed(wd1) after ensure_bucketed(wd2) under one name
+    returning corpus-2 rows for a corpus-1 activation)."""
+    from setsm_postprocessing_python_spark.sources import bucketed as B
+
+    table = "t_register_loc"
+    full = B.blocked_pages(spark, SF, block_shift=12)
+    a = full.where("pmod(crc32(url), 2) = 0")
+    b = full.where("pmod(crc32(url), 2) = 1")
+    try:
+        B.ensure_bucketed(spark, str(tmp_path / "wd1"), table,
+                          build=lambda: a, meta={"grain": "a"}, n_buckets=2)
+        n_a = spark.table(table).count()
+        B.ensure_bucketed(spark, str(tmp_path / "wd2"), table,
+                          build=lambda: b, meta={"grain": "b"}, n_buckets=2)
+        n_b = spark.table(table).count()
+        # back to wd1: marker matches, so no rewrite — but the catalog
+        # entry points at wd2 and MUST be re-registered, not trusted
+        tbl, did = B.ensure_bucketed(
+            spark, str(tmp_path / "wd1"), table,
+            build=lambda: a, meta={"grain": "a"}, n_buckets=2)
+        assert not did, "matching marker must not rewrite"
+        assert tbl.count() == n_a != n_b
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_torn_marker_is_treated_as_incomplete(spark, tmp_path):
+    """A torn (half-written) marker is an incomplete layout, not a crash:
+    ensure_bucketed rewrites, ensure_bucketed_ingest refuses with the
+    'run ensure_bucketed first' error. (Markers are committed via
+    write-to-temp + rename, so a torn marker can only predate the
+    protocol — it must still not wedge the layout forever.)"""
+    import pytest as _pytest
+
+    from setsm_postprocessing_python_spark.sources import bucketed as B
+
+    table = "t_torn_marker"
+    path = str(tmp_path / "layout")
+    full = B.blocked_pages(spark, SF, block_shift=12)
+    try:
+        B.ensure_bucketed(spark, path, table, build=lambda: full,
+                          meta={"grain": "full"}, n_buckets=2)
+        marker = Path(path) / B.LAYOUT_MARKER
+        marker.write_text(marker.read_text()[:17])  # tear it
+        with _pytest.raises(ValueError, match="run ensure_bucketed first"):
+            B.ensure_bucketed_ingest(spark, path, table,
+                                     build=lambda: full.limit(1),
+                                     ingest_id="i1", n_buckets=2)
+        tbl, did = B.ensure_bucketed(spark, path, table, build=lambda: full,
+                                     meta={"grain": "full"}, n_buckets=2)
+        assert did, "torn marker must trigger the rewrite path"
+        assert tbl.count() == full.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_rebuild_under_activation_does_not_read_dropped_table(spark):
+    """ensure_bucketed_pages while THIS table is the session's activated
+    pages source: build() must not resolve through the activation (it
+    would read the table just dropped mid-rewrite). The rewrite is forced
+    via a block_shift change (stale marker)."""
+    import tempfile
+
+    from setsm_postprocessing_python_spark.sources import bucketed as B
+    from setsm_postprocessing_python_spark.sources.pages import (
+        BUCKETED_TABLE_CONF)
+
+    table = "t_rebuild_active"
+    wd = tempfile.mkdtemp(prefix="rebuild_active_")
+    path = f"{wd}/layout"
+    try:
+        B.ensure_bucketed_pages(spark, SF, path, table=table, n_buckets=2,
+                                block_shift=12)
+        B.activate_bucketed_pages(spark, table, SF)
+        tbl, did = B.ensure_bucketed_pages(spark, SF, path, table=table,
+                                           n_buckets=2, block_shift=11)
+        assert did, "grain change must rewrite"
+        assert tbl.count() > 0
+        # activation survives the rewrite and serves the fresh table
+        assert spark.conf.get(BUCKETED_TABLE_CONF, None) == table
+    finally:
+        B.deactivate_bucketed_pages(spark)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(wd, ignore_errors=True)

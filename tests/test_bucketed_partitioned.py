@@ -22,29 +22,16 @@ from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
+from setsm_postprocessing_python_spark.plans.planview import (
+    formatted_plan, n_exchanges)
 
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(df):
-    from setsm_postprocessing_python_spark.plans.planview import (
-        formatted_plan)
-
-    return formatted_plan(df)
 
 
-def _n_exchanges(plan):
-    from setsm_postprocessing_python_spark.plans.planview import n_exchanges
-
-    return n_exchanges(plan)
 
 
-@pytest.fixture()
-def no_broadcast(spark):
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    yield
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def _multi_day(spark, days=5, day0="2024-01-01"):
@@ -81,7 +68,7 @@ def test_partitioned_layout_prunes_and_joins_shuffle_free(
         assert tbl.count() == flat.count()
         # lever 1: day filter prunes at planning time
         day_q = tbl.where("warc_day = date'2024-01-02'")
-        plan = _plan(day_q)
+        plan = formatted_plan(day_q)
         assert "PartitionFilters" in plan
         import re
 
@@ -89,12 +76,12 @@ def test_partitioned_layout_prunes_and_joins_shuffle_free(
         n_day = day_q.count()
         assert 0 < n_day < flat.count()
         # lever 2: block join plans ZERO Exchanges over the same table
-        jplan = _plan(_join_on_block(tbl))
+        jplan = formatted_plan(_join_on_block(tbl))
         assert "Bucketed: true" in jplan
-        assert _n_exchanges(jplan) == 0
+        assert n_exchanges(jplan) == 0
         # and the two compose: pruned-side join, still no Exchange
-        jp = _plan(_join_on_block(tbl).where("warc_day = date'2024-01-02'"))
-        assert _n_exchanges(jp) == 0
+        jp = formatted_plan(_join_on_block(tbl).where("warc_day = date'2024-01-02'"))
+        assert n_exchanges(jp) == 0
         # rows identical to the flat derivation
         assert _join_on_block(tbl).count() == _join_on_block(flat).count()
     finally:
@@ -127,9 +114,9 @@ def test_partitioned_ingest_appends_new_day(spark, tmp_path, no_broadcast):
         assert (p / "warc_day=2024-01-06").is_dir()
         assert tbl2.count() == n_base + n_inc
         assert (tbl2.where("warc_day = date'2024-01-06'").count() == n_inc)
-        jplan = _plan(_join_on_block(tbl2))
+        jplan = formatted_plan(_join_on_block(tbl2))
         assert "Bucketed: true" in jplan
-        assert _n_exchanges(jplan) == 0
+        assert n_exchanges(jplan) == 0
 
         # replay: no-op
         tbl3, did3 = B.ensure_bucketed_ingest(
@@ -144,7 +131,7 @@ def test_partitioned_ingest_appends_new_day(spark, tmp_path, no_broadcast):
             meta={"grain": "5day"}, n_buckets=4, partition_by="warc_day")
         assert not did4
         assert tbl4.count() == n_base + n_inc
-        assert _n_exchanges(_plan(_join_on_block(tbl4))) == 0
+        assert n_exchanges(formatted_plan(_join_on_block(tbl4))) == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 

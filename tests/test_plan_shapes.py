@@ -5,15 +5,12 @@ pushdown, broadcast of small sides)."""
 from __future__ import annotations
 
 import pytest
+from setsm_postprocessing_python_spark.plans.planview import (
+    formatted_plan, n_exchanges)
 
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(spark, df) -> str:
-    from setsm_postprocessing_python_spark.plans.planview import (
-        formatted_plan)
-
-    return formatted_plan(df)
 
 
 def test_tile_counts_prunes_to_doc_id(spark):
@@ -21,7 +18,7 @@ def test_tile_counts_prunes_to_doc_id(spark):
     wide text/html columns never leave the parquet reader."""
     from setsm_postprocessing_python_spark.plans.queries import q_tile_counts
 
-    plan = _plan(spark, q_tile_counts(spark, SF))
+    plan = formatted_plan(q_tile_counts(spark, SF))
     assert "ReadSchema: struct<doc_id:" in plan
     assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
 
@@ -30,7 +27,7 @@ def test_tile_counts_partial_aggregation(spark):
     """Map-side combine: a partial HashAggregate must precede the Exchange."""
     from setsm_postprocessing_python_spark.plans.queries import q_tile_counts
 
-    plan = _plan(spark, q_tile_counts(spark, SF))
+    plan = formatted_plan(q_tile_counts(spark, SF))
     agg_before_exchange = plan.index("HashAggregate") < plan.index("Exchange")
     assert agg_before_exchange
 
@@ -40,7 +37,7 @@ def test_knn_uses_topk_pushdown(spark):
     before the shuffle), not a full sort."""
     from setsm_postprocessing_python_spark.plans.queries import q_knn
 
-    plan = _plan(spark, q_knn(spark, SF))
+    plan = formatted_plan(q_knn(spark, SF))
     assert "WindowGroupLimit" in plan
 
 
@@ -48,7 +45,7 @@ def test_dn2rad_broadcasts_dim(spark):
     """The 5-row gain/offset dim side must be broadcast, never shuffled."""
     from setsm_postprocessing_python_spark.plans.queries_ref import q_dn2rad
 
-    plan = _plan(spark, q_dn2rad(spark, SF))
+    plan = formatted_plan(q_dn2rad(spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
@@ -60,7 +57,7 @@ def test_ring_density_is_join_free(spark):
         ring_density)
     from setsm_postprocessing_python_spark.sources.pages import geocoded_pages
 
-    plan = _plan(spark, ring_density(geocoded_pages(spark, SF), ring=1))
+    plan = formatted_plan(ring_density(geocoded_pages(spark, SF), ring=1))
     assert "Join" not in plan
 
 
@@ -69,7 +66,7 @@ def test_slope_partial_aggregation(spark):
     HashAggregate must precede the Exchange (map-side combine)."""
     from setsm_postprocessing_python_spark.plans.queries_ref import q_slope
 
-    plan = _plan(spark, q_slope(spark, SF))
+    plan = formatted_plan(q_slope(spark, SF))
     assert plan.index("HashAggregate") < plan.index("Exchange")
 
 
@@ -81,7 +78,7 @@ def test_layout_scan_pushes_cell_range(spark, tmp_path):
 
     d = str(tmp_path / "pages")
     write_pages_layout(geocoded_pages(spark, SF), d)
-    plan = _plan(spark, cell_range_scan(spark, d, 0, 10**9))
+    plan = formatted_plan(cell_range_scan(spark, d, 0, 10**9))
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(cell" in plan
 
@@ -121,22 +118,8 @@ def _self_join_on_block(d):
     return left.join(right, "block").where("ua < ub")
 
 
-def _n_exchanges(plan: str) -> int:
-    from setsm_postprocessing_python_spark.plans.planview import n_exchanges
-
-    return n_exchanges(plan)
 
 
-@pytest.fixture()
-def no_broadcast(spark):
-    """Pin broadcast off: at 100 TB both join sides are far past any
-    broadcast threshold, so the tiny-data test must force the shuffle-join
-    plan the claim is about (with broadcast on, the planner rightly
-    prefers it and disables the bucketed scan as useless)."""
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    yield
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_bucketed_layout_eliminates_cell_join_exchange(
@@ -154,11 +137,11 @@ def test_bucketed_layout_eliminates_cell_join_exchange(
     tbl = B.write_bucketed(spark, flat, str(tmp_path / "bkt"),
                            table="t_bkt_cell_join")
     try:
-        bplan = _plan(spark, _self_join_on_block(tbl))
-        fplan = _plan(spark, _self_join_on_block(flat))
+        bplan = formatted_plan(_self_join_on_block(tbl))
+        fplan = formatted_plan(_self_join_on_block(flat))
         assert "Bucketed: true" in bplan
-        assert _n_exchanges(bplan) == 0
-        assert _n_exchanges(fplan) >= 2
+        assert n_exchanges(bplan) == 0
+        assert n_exchanges(fplan) >= 2
         assert (_self_join_on_block(tbl).count()
                 == _self_join_on_block(flat).count() > 0)
     finally:
@@ -193,12 +176,12 @@ def test_bucketed_layout_drops_knn_probe_exchange(
                                 use_stored_block=True)
         fres = knn_join_blocked(flat.drop("block"), k=3, ring=1,
                                 block_shift=2)
-        bplan = _plan(spark, bres)
-        fplan = _plan(spark, fres)
+        bplan = formatted_plan(bres)
+        fplan = formatted_plan(fres)
         assert "Bucketed: true" in bplan
         # exactly one Exchange leaves the plan (the probe side's); the
         # build-side and window exchanges are layout-independent
-        assert _n_exchanges(bplan) == _n_exchanges(fplan) - 1
+        assert n_exchanges(bplan) == n_exchanges(fplan) - 1
         assert (bres.orderBy("url_a", "rank").collect()
                 == fres.orderBy("url_a", "rank").collect())
         assert bres.count() > 0
@@ -229,7 +212,7 @@ def test_bucketed_default_rows_match_flat(spark, tmp_path, no_broadcast):
         assert not bucketed_pages_active(spark, "/root/testdata/sf0.01")
         served = geocoded_pages(spark, SF)
         assert "block" in served.columns
-        assert _n_exchanges(_plan(spark, _self_join_on_block(served))) == 0
+        assert n_exchanges(formatted_plan(_self_join_on_block(served))) == 0
         assert (served.drop("block").exceptAll(flat).isEmpty()
                 and flat.exceptAll(served.drop("block")).isEmpty())
         # keyword variants and other corpora take the flat path
@@ -245,7 +228,7 @@ def test_bucketed_default_rows_match_flat(spark, tmp_path, no_broadcast):
             spark, SF, str(tmp_path / "layout"), table="t_bkt_default",
             n_buckets=8)
         assert not did2
-        assert _n_exchanges(_plan(spark, _self_join_on_block(tbl2))) == 0
+        assert n_exchanges(formatted_plan(_self_join_on_block(tbl2))) == 0
         assert tbl2.count() == flat.count()
     finally:
         B.deactivate_bucketed_pages(spark)
