@@ -426,7 +426,7 @@ def _scaling_pair(sf_dir: str, n_rows: int) -> tuple[dict, float]:
     for par in order:
         out = subprocess.run(
             [sys.executable, __file__, "--scale-single", str(par)],
-            capture_output=True, text=True, timeout=3600,
+            capture_output=True, text=True, timeout=7200,
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
                  "SPARK_GRAFT_SCALE_ROWS": str(n_rows)},
         )
