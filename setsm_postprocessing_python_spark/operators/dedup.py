@@ -157,18 +157,21 @@ def _minhash_wide(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for i, (a, b) in enumerate(MINHASH_PARAMS)])
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """LSH banding: docs sharing at least one full band of minhashes.
-    Band signature = concat of the band's minhashes; candidates = equi-join
-    on (band, signature). Output (id_a < id_b, n_shared_bands).
+def band_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_sig): the LSH banding state of a corpus — N_BANDS
+    rows per document, assembled DIRECTLY from the wide per-doc minhash
+    row (no long-form shuffle, no collect_list aggregation).
 
-    Band signatures are assembled DIRECTLY from the wide per-doc minhash
-    row — no long-form shuffle, no collect_list aggregation; the only
-    shuffles left are the shingle distinct, the per-doc min-agg, and the
-    band equi-join. The signature string is byte-identical to the
-    oracle's array_sort(collect_list('idx:min')) form: element order
-    within a band is the LEXICOGRAPHIC order of the 'idx:' prefixes,
-    which is a compile-time constant per band."""
+    This is the table an incremental dedup pipeline PERSISTS between
+    snapshots: probing a new batch against it costs O(|batch|) signature
+    work plus an equi-join — corpus text is never re-read (see
+    incremental_lsh_pairs). The signature string is byte-identical to
+    the oracle's array_sort(collect_list('idx:min')) form: element order
+    within a band is the LEXICOGRAPHIC order of the 'idx:' prefixes, a
+    compile-time constant per band. Because every band's signature
+    embeds its own hash indexes ('0:..' vs '4:..'), signatures from
+    different bands can never collide — band_sig ALONE is a sufficient
+    join (and layout-bucketing) key; `band` is kept for bookkeeping."""
     mins = _minhash_wide(df, id_col)
     band_structs = []
     for band in range(N_BANDS):
@@ -181,16 +184,24 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.concat_ws(":", F.lit(str(i)), F.col(f"m{i}")) for i in idxs])
         band_structs.append(F.struct(F.lit(band).alias("band"),
                                      sig.alias("band_sig")))
-    bands = (mins.select(id_col, F.explode(F.array(*band_structs)).alias("b"))
-             .select(id_col, F.col("b.band").alias("band"),
-                     F.col("b.band_sig").alias("band_sig")))
+    return (mins.select(id_col, F.explode(F.array(*band_structs)).alias("b"))
+            .select(F.col(id_col).cast("bigint").alias(id_col),
+                    F.col("b.band").alias("band"),
+                    F.col("b.band_sig").alias("band_sig")))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: docs sharing at least one full band of minhashes.
+    Band signature = concat of the band's minhashes; candidates = equi-join
+    on (band, signature). Output (id_a < id_b, n_shared_bands). The only
+    shuffles are the per-doc min-agg and the band equi-join (see
+    band_signatures for the signature layout)."""
+    bands = band_signatures(df, id_col)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (a.join(b, ["band", "band_sig"]).where(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-             .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
-                     "n_shared_bands"))
+             .agg(F.count(F.lit(1)).alias("n_shared_bands")))
 
 
 def near_dup_pipeline(df: DataFrame, id_col: str = "doc_id",
@@ -217,6 +228,126 @@ def near_dup_pipeline(df: DataFrame, id_col: str = "doc_id",
     sz_b = reps.select(F.col(id_col).cast("bigint").alias("id_b"),
                        F.col("n_dups").alias("n_docs_b"))
     return pairs.join(sz_a, "id_a").join(sz_b, "id_b")
+
+
+# ---------------------------------------------------------------------------
+# incremental (snapshot-over-snapshot) dedup
+# ---------------------------------------------------------------------------
+# The 100 TB production shape: a crawl corpus grows by batches (e.g. one
+# Common-Crawl snapshot per month), and each batch must dedup against ALL
+# history without re-reading or re-hashing history. Two persisted state
+# tables make the cost per batch ∝ |batch|:
+#   - exact state: the exact_dedup groups table (text_md5, keep_id,
+#     n_dups), upserted by merge_exact_groups;
+#   - near-dup state: the band_signatures table, stored bucketed by
+#     band_sig (sources/bucketed.ensure_bucketed(key='band_sig')) so the
+#     corpus side of every probe join is Exchange-free, and appended per
+#     batch via the same kill-safe exactly-once ingest protocol as the
+#     pages layout (reference analogue: the checkfile/`.fin` dedup that
+#     keeps re-run batches from redoing finished strips,
+#     /root/reference/batch_scenes2strips.py:1518-1533).
+
+
+def incremental_lsh_pairs(batch_sigs: DataFrame, corpus_sigs: DataFrame,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs INTRODUCED by a new batch: batch-vs-corpus
+    plus batch-vs-batch (corpus-vs-corpus pairs were emitted by earlier
+    snapshots by construction). Both inputs are (id, band, band_sig) rows
+    (band_signatures). Output (id_a < id_b, n_shared_bands) — exactly the
+    subset of lsh_candidate_pairs(corpus ∪ batch) touching >= 1 batch doc
+    (pytest-pinned), so running it per batch over a growing corpus yields
+    the same pair set as ever re-running the full join.
+
+    Scale shape: the join key is band_sig ALONE (sufficient — the band's
+    hash indexes are embedded in the string), so when the corpus
+    signature table is laid out bucketed by band_sig only the batch side
+    shuffles; the corpus side is a bucket-local scan at any corpus size.
+    A doc re-ingested under its existing id pairs with itself on every
+    band; the id_new != id_old guard drops those self-pairs."""
+    new = batch_sigs.select(F.col(id_col).alias("id_new"), "band_sig")
+    old = corpus_sigs.select(F.col(id_col).alias("id_old"), "band_sig")
+    cross = (new.join(old, "band_sig")
+             .where(F.col("id_new") != F.col("id_old"))
+             .select(F.least("id_new", "id_old").alias("id_a"),
+                     F.greatest("id_new", "id_old").alias("id_b")))
+    new2 = batch_sigs.select(F.col(id_col).alias("id_new2"), "band_sig")
+    within = (new.join(new2, "band_sig")
+              .where(F.col("id_new") < F.col("id_new2"))
+              .select(F.col("id_new").alias("id_a"),
+                      F.col("id_new2").alias("id_b")))
+    return (cross.unionByName(within)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+
+
+def incremental_near_dup(batch: DataFrame, corpus_sigs: DataFrame,
+                         id_col: str = "doc_id",
+                         track: list | None = None) -> DataFrame:
+    """Convenience composition: signature the batch once (persisted — the
+    frame feeds both the vs-corpus and the within-batch join) and probe
+    the corpus signature state. `track` receives the persisted frame for
+    caller-owned release (the engine-wide cache-hatch convention)."""
+    sigs = band_signatures(batch, id_col).persist()
+    if track is not None:
+        track.append(sigs)
+    return incremental_lsh_pairs(sigs, corpus_sigs, id_col)
+
+
+def merge_exact_groups(groups: DataFrame, batch: DataFrame,
+                       id_col: str = "doc_id",
+                       text: str = "text") -> DataFrame:
+    """Upsert a new batch into the exact-dedup state table
+    (text_md5, keep_id, n_dups): one groupBy over the batch, one
+    full-outer equi-join on text_md5 — corpus text is never re-read (the
+    MERGE INTO shape at 10^12 rows; on Iceberg this is a single merge
+    commit). keep_id = min id across history and batch, so the merge is
+    associative and batch-order independent: folding any split of the
+    corpus equals exact_dedup over the union (pytest-pinned)."""
+    g = groups.select("text_md5", F.col("keep_id").alias("keep_id_g"),
+                      F.col("n_dups").alias("n_dups_g"))
+    b = exact_dedup(batch, id_col, text).select(
+        "text_md5", F.col("keep_id").alias("keep_id_b"),
+        F.col("n_dups").alias("n_dups_b"))
+    return (g.join(b, "text_md5", "full_outer")
+            .select("text_md5",
+                    F.least("keep_id_g", "keep_id_b").alias("keep_id"),
+                    (F.coalesce("n_dups_g", F.lit(0))
+                     + F.coalesce("n_dups_b", F.lit(0))).alias("n_dups")))
+
+
+def ensure_signature_layout(spark, path: str, table: str, build,
+                            meta: dict, n_buckets: int = 8,
+                            id_col: str = "doc_id"):
+    """Materialize a corpus's band-signature state table bucketed by
+    band_sig (kill-safe, idempotent — sources/bucketed.ensure_bucketed):
+    the once-per-snapshot job whose cost every later batch probe
+    amortizes. `build()` returns the corpus documents frame; `meta`
+    identifies the snapshot. Returns (table_df, did_write)."""
+    from ..sources.bucketed import ensure_bucketed
+
+    return ensure_bucketed(
+        spark, path, table,
+        build=lambda: band_signatures(build(), id_col),
+        meta={**meta, "op": "minhash_band_sigs", "n_hashes": N_HASHES,
+              "n_bands": N_BANDS},
+        n_buckets=n_buckets, key="band_sig")
+
+
+def ingest_signatures(spark, path: str, table: str, build,
+                      ingest_id: str, n_buckets: int = 8,
+                      id_col: str = "doc_id"):
+    """Append a batch's signatures to the state table (exactly-once,
+    kill-safe — sources/bucketed.ensure_bucketed_ingest: replayed
+    ingest_ids no-op, torn appends are swept on the next call). The
+    per-batch flow is: probe first (incremental_near_dup against the
+    current table), then ingest the batch's signatures under the batch
+    id. Returns (table_df, did_append)."""
+    from ..sources.bucketed import ensure_bucketed_ingest
+
+    return ensure_bucketed_ingest(
+        spark, path, table,
+        build=lambda: band_signatures(build(), id_col),
+        ingest_id=ingest_id, n_buckets=n_buckets, key="band_sig")
 
 
 # ---------------------------------------------------------------------------
