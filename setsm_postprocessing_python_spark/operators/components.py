@@ -52,28 +52,33 @@ def _neighbor_pairs(cells: DataFrame) -> DataFrame:
     return cand.join(occ, "nbr_cell", "inner")  # keep only occupied neighbors
 
 
-def connected_components(cells: DataFrame, max_iter: int = 25) -> DataFrame:
-    """(cell, component) where component = min cell id in the component.
+def cc_from_edges(nodes: DataFrame, edges: DataFrame,
+                  max_iter: int = 25) -> DataFrame:
+    """(cell, component) min-label connected components over an EXPLICIT
+    directed edge list: HashMin propagation + pointer jumping. The grid
+    instantiation (connected_components) and the dedup pair-graph
+    (operators/dedup.dedup_decisions) share this loop.
 
-    cells: distinct occupied cells with (cell, cell_x, cell_y).
-    Deterministic: labels are min cell ids, propagation order-insensitive.
+    nodes: distinct (cell,) rows — isolated nodes label themselves;
+    edges: (cell, nbr_cell) with BOTH directions present for every
+    undirected adjacency (min-label propagation has no implicit reverse).
+    Deterministic: labels are min node ids, propagation order-insensitive.
     Raises RuntimeError if max_iter rounds do not reach the fixpoint (with
     pointer jumping, rounds needed ~ log2(component diameter), so 25 covers
-    diameters up to ~2^25 cells).
-    """
-    edges = _neighbor_pairs(cells).persist()
-    labels = cells.select("cell", F.col("cell").alias("component"))
+    diameters up to ~2^25 nodes). Caller owns the persistence of `edges`
+    (it is re-read every round)."""
+    labels = nodes.select("cell", F.col("cell").alias("component"))
     labels = labels.localCheckpoint()
     converged = False
     for _ in range(max_iter):
-        # HashMin: push each cell's label to its neighbors, take the min seen
+        # HashMin: push each node's label to its neighbors, take the min seen
         pushed = (edges.join(labels, "cell")
                   .select(F.col("nbr_cell").alias("cell"),
                           F.col("component")))
         hashmin = (labels.unionByName(pushed)
                    .groupBy("cell").agg(F.min("component").alias("component")))
         # pointer jump: label(c) <- label(label(c)). The label is always an
-        # occupied cell of the same component, so the lookup total.
+        # occupied node of the same component, so the lookup total.
         lut = hashmin.select(F.col("cell").alias("component"),
                              F.col("component").alias("component2"))
         new_labels = (hashmin.join(lut, "component")
@@ -87,12 +92,24 @@ def connected_components(cells: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
+            f"cc_from_edges did not converge in {max_iter} rounds; "
             "labels would be wrong — raise max_iter")
     return labels
+
+
+def connected_components(cells: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(cell, component) where component = min cell id in the component.
+
+    cells: distinct occupied cells with (cell, cell_x, cell_y); 8-adjacency
+    edges derived grid-side (_neighbor_pairs), labels via cc_from_edges.
+    """
+    edges = _neighbor_pairs(cells).persist()
+    try:
+        return cc_from_edges(cells.select("cell"), edges, max_iter)
+    finally:
+        edges.unpersist()
 
 
 def bwareaopen(cells: DataFrame, min_size: int, max_iter: int = 25) -> DataFrame:

@@ -351,6 +351,80 @@ def ingest_signatures(spark, path: str, table: str, build,
 
 
 # ---------------------------------------------------------------------------
+# dedup resolution: pairs -> components -> keep/drop decisions
+# ---------------------------------------------------------------------------
+
+
+def dedup_decisions(pairs: DataFrame, ids: DataFrame,
+                    id_col: str = "doc_id",
+                    max_iter: int = 25) -> DataFrame:
+    """Resolve a candidate-pair graph into per-doc keep/drop decisions:
+    connected components over the (id_a, id_b) edges (the shared
+    pointer-jumping HashMin loop, operators/components.cc_from_edges —
+    O(log component-diameter) rounds, so near-dup CHAINS a-b-c collapse
+    to ONE kept doc even when a~c was never a candidate pair), canonical
+    = min id per component. `ids` lists every doc under consideration —
+    docs with no pair form singleton components and keep themselves.
+    Output (id, canonical_id, keep)."""
+    from .components import cc_from_edges
+
+    nodes = ids.select(F.col(id_col).cast("bigint").alias("cell")).distinct()
+    fwd = pairs.select(F.col("id_a").alias("cell"),
+                       F.col("id_b").alias("nbr_cell"))
+    rev = pairs.select(F.col("id_b").alias("cell"),
+                       F.col("id_a").alias("nbr_cell"))
+    edges = fwd.unionByName(rev).persist()
+    try:
+        labels = cc_from_edges(nodes, edges, max_iter)
+    finally:
+        edges.unpersist()
+    return labels.select(
+        F.col("cell").alias(id_col),
+        F.col("component").alias("canonical_id"),
+        (F.col("cell") == F.col("component")).alias("keep"))
+
+
+def deduplicate(df: DataFrame, id_col: str = "doc_id",
+                text: str = "text", max_iter: int = 25,
+                track: list | None = None) -> DataFrame:
+    """End-to-end near-dup removal — the full production composition:
+    exact collapse -> LSH over representatives -> component resolution
+    -> per-DOCUMENT verdicts. Output one row per input doc:
+    (id, canonical_id, keep) where canonical_id is the min doc id of the
+    doc's duplicate cluster (exact group unioned with its rep's near-dup
+    component) and keep is true for exactly one doc per cluster.
+    Filtering the corpus on `keep` yields the deduplicated dataset.
+
+    Every step is a bounded equi-join or the log-rounds CC loop — no
+    step is quadratic in duplication (the raw-LSH pathology measured in
+    BENCH/SCALE_PROBE.md is avoided by construction). `track` receives
+    the persisted md5-keyed projection for caller-owned release."""
+    with_md5 = (df.select(F.col(id_col).cast("bigint").alias(id_col),
+                          F.md5(text).alias("_md5"))
+                .persist())
+    if track is not None:
+        track.append(with_md5)
+    groups = (with_md5.groupBy("_md5")
+              .agg(F.min(id_col).alias("rep_id")))
+    reps = (with_md5.join(groups, "_md5")
+            .where(F.col(id_col) == F.col("rep_id")))
+    rep_docs = df.join(reps.select(F.col(id_col).alias("_rid")),
+                       F.col(id_col).cast("bigint") == F.col("_rid")) \
+                 .drop("_rid")
+    pairs = lsh_candidate_pairs(rep_docs, id_col)
+    dec = dedup_decisions(pairs, reps.select(id_col), id_col, max_iter)
+    # doc-level verdict: canonical(doc) = canonical(rep(exact group));
+    # keep iff the doc IS that canonical (one per cluster by min-id
+    # transitivity: canonical_id is itself a rep, and a rep's group
+    # rep_id == its own id)
+    rep_dec = dec.select(F.col(id_col).alias("rep_id"), "canonical_id")
+    return (with_md5.join(groups, "_md5")
+            .join(rep_dec, "rep_id")
+            .select(id_col, "canonical_id",
+                    (F.col(id_col) == F.col("canonical_id")).alias("keep")))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
