@@ -524,10 +524,11 @@ def _append_curve_section() -> None:
           "is the cluster-scaling signature: the parallel fraction is",
           "near-perfect and the residual is the fixed term.", "",
           f"| pages | local[{SCALE_N}] s | local[{SCALE_4N}] s |"
-          " efficiency | 4N pages/sec |", "|---|---|---|---|---|"]
+          " efficiency | 4N pages/sec | reps |", "|---|---|---|---|---|---|"]
     for r in rows:
         md.append(f"| {r['n_rows']:,} | {r['t_n']} | {r['t_4n']} "
-                  f"| **{r['eff']:.3f}** | {r['pps_4n']:,} |")
+                  f"| **{r['eff']:.3f}** | {r['pps_4n']:,} "
+                  f"| {r.get('reps', '?')} |")
     body = p.read_text().split("\n" + _CURVE_MARK)[0]
     p.write_text(body.rstrip() + "\n\n" + "\n".join(md) + "\n")
 
