@@ -386,6 +386,7 @@ def dedup_decisions(pairs: DataFrame, ids: DataFrame,
 
 def deduplicate(df: DataFrame, id_col: str = "doc_id",
                 text: str = "text", max_iter: int = 25,
+                min_shared_bands: int = 1,
                 track: list | None = None) -> DataFrame:
     """End-to-end near-dup removal — the full production composition:
     exact collapse -> LSH over representatives -> component resolution
@@ -394,6 +395,11 @@ def deduplicate(df: DataFrame, id_col: str = "doc_id",
     doc's duplicate cluster (exact group unioned with its rep's near-dup
     component) and keep is true for exactly one doc per cluster.
     Filtering the corpus on `keep` yields the deduplicated dataset.
+
+    min_shared_bands is the precision knob: 1 (default) links any band
+    collision (recall-leaning, the usual web-dedup posture); raising it
+    toward N_BANDS demands near-identical signatures before two docs
+    merge, shrinking clusters.
 
     Every step is a bounded equi-join or the log-rounds CC loop — no
     step is quadratic in duplication (the raw-LSH pathology measured in
@@ -411,7 +417,8 @@ def deduplicate(df: DataFrame, id_col: str = "doc_id",
     rep_docs = df.join(reps.select(F.col(id_col).alias("_rid")),
                        F.col(id_col).cast("bigint") == F.col("_rid")) \
                  .drop("_rid")
-    pairs = lsh_candidate_pairs(rep_docs, id_col)
+    pairs = lsh_candidate_pairs(rep_docs, id_col).where(
+        F.col("n_shared_bands") >= min_shared_bands)
     dec = dedup_decisions(pairs, reps.select(id_col), id_col, max_iter)
     # doc-level verdict: canonical(doc) = canonical(rep(exact group));
     # keep iff the doc IS that canonical (one per cluster by min-id

@@ -96,3 +96,40 @@ def test_deduplicate_end_to_end_matches_union_find(spark):
     assert got[3] == 0  # (base endB) pairs with (base endA) under LSH
     assert len(track) == 1 and track[0].is_cached
     track[0].unpersist()
+
+
+def test_deduplicate_min_shared_bands_is_a_refinement(spark):
+    """Raising the precision knob can only SPLIT clusters (edges are a
+    subset), never merge new ones; expectation re-derived by union-find
+    over the knob-filtered pair set."""
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (0, f"{base} endA"), (1, f"{base} endA"),
+        (2, f"{base} endB"),
+        (3, "p q r s t u v w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = {}
+    for i, t in rows:
+        groups.setdefault(t, []).append(i)
+    uf_exact = [(g[0], m) for g in groups.values() for m in g[1:]]
+    rep_pairs = [(r.id_a, r.id_b, r.n_shared_bands)
+                 for r in near_dup_pipeline(df).collect()]
+    loose = _union_find([i for i, _ in rows],
+                        uf_exact + [(a, b) for a, b, _ in rep_pairs])
+    strict = _union_find([i for i, _ in rows],
+                         uf_exact + [(a, b) for a, b, n in rep_pairs
+                                     if n >= 4])
+    track: list = []
+    got_loose = {r.doc_id: r.canonical_id
+                 for r in deduplicate(df, track=track).collect()}
+    got_strict = {r.doc_id: r.canonical_id
+                  for r in deduplicate(df, min_shared_bands=4,
+                                       track=track).collect()}
+    for c in track:
+        c.unpersist()
+    assert got_loose == loose and got_strict == strict
+    assert got_loose[2] == 0  # one-token variant pairs at >= 1 band
+    # refinement: strict clusters partition loose ones
+    for i in got_strict:
+        assert got_loose[got_strict[i]] == got_loose[i]
