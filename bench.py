@@ -522,7 +522,10 @@ def _append_curve_section() -> None:
           "fast to amortize at small inputs, and that an hours-long",
           "north-rule job never sees). Efficiency rising with input size",
           "is the cluster-scaling signature: the parallel fraction is",
-          "near-perfect and the residual is the fixed term.", "",
+          "near-perfect and the residual is the fixed term. Values above",
+          "1.0 are measurement artifacts (true (T_N/T_4N)/4 cannot exceed",
+          "1; low-rep rows haven't had the min-of-reps merge applied) —",
+          "read them as ~1.0, and weigh rows by their rep count.", "",
           f"| pages | local[{SCALE_N}] s | local[{SCALE_4N}] s |"
           " efficiency | 4N pages/sec | reps |", "|---|---|---|---|---|---|"]
     for r in rows:

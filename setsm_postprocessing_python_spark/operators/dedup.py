@@ -47,11 +47,23 @@ MINHASH_PARAMS = _minhash_params()
 # ---------------------------------------------------------------------------
 
 def shingles_expr(dialect: str, text: str = "text", n: int = SHINGLE_N) -> str:
-    """Array of word n-gram shingle strings."""
+    """Array of word n-gram shingle strings; EMPTY for docs shorter than
+    n tokens (including NULL text).
+
+    The Spark branch guards the token count explicitly: Spark's
+    sequence(1, 0) DESCENDS ([1, 0] — step defaults to -1 when start >
+    stop), so the unguarded greatest()-bounded form produced two bogus
+    shingles for short docs (slice at index 0, NULL shingles for NULL
+    text — every NULL-text doc then shared an identical all-NULL
+    signature and near-dup-paired with all the others). DuckDB's
+    range(1, 1) is empty, so the guard also closes a latent cross-
+    dialect divergence for sub-n-token docs."""
     toks = D.tokens_expr(dialect, text)
     if dialect == D.SPARK:
-        return (f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-                f"i -> array_join(slice({toks}, i, {n}), ' '))")
+        return (f"CASE WHEN size({toks}) >= {n} THEN "
+                f"transform(sequence(1, size({toks}) - {n - 1}), "
+                f"i -> array_join(slice({toks}, i, {n}), ' ')) "
+                f"ELSE CAST(array() AS array<string>) END")
     return (f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
             f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))")
 
@@ -262,22 +274,30 @@ def incremental_lsh_pairs(batch_sigs: DataFrame, corpus_sigs: DataFrame,
     hash indexes are embedded in the string), so when the corpus
     signature table is laid out bucketed by band_sig only the batch side
     shuffles; the corpus side is a bucket-local scan at any corpus size.
-    A doc re-ingested under its existing id pairs with itself on every
-    band; the id_new != id_old guard drops those self-pairs."""
-    new = batch_sigs.select(F.col(id_col).alias("id_new"), "band_sig")
+
+    Overlap safety (the probe-after-crash replay: a batch whose
+    signatures were ALREADY ingested re-probes the table): self-pairs
+    are dropped by the id_new != id_old guard, and n_shared_bands counts
+    DISTINCT bands — a pair reachable both within-batch and via the
+    ingested copies still reports the true band count, never a
+    double/triple count (pytest-pinned)."""
+    new = batch_sigs.select(F.col(id_col).alias("id_new"), "band",
+                            "band_sig")
     old = corpus_sigs.select(F.col(id_col).alias("id_old"), "band_sig")
     cross = (new.join(old, "band_sig")
              .where(F.col("id_new") != F.col("id_old"))
              .select(F.least("id_new", "id_old").alias("id_a"),
-                     F.greatest("id_new", "id_old").alias("id_b")))
+                     F.greatest("id_new", "id_old").alias("id_b"),
+                     "band"))
     new2 = batch_sigs.select(F.col(id_col).alias("id_new2"), "band_sig")
     within = (new.join(new2, "band_sig")
               .where(F.col("id_new") < F.col("id_new2"))
               .select(F.col("id_new").alias("id_a"),
-                      F.col("id_new2").alias("id_b")))
+                      F.col("id_new2").alias("id_b"),
+                      "band"))
     return (cross.unionByName(within)
             .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+            .agg(F.countDistinct("band").alias("n_shared_bands")))
 
 
 def incremental_near_dup(batch: DataFrame, corpus_sigs: DataFrame,
@@ -328,9 +348,22 @@ def ensure_signature_layout(spark, path: str, table: str, build,
     return ensure_bucketed(
         spark, path, table,
         build=lambda: band_signatures(build(), id_col),
-        meta={**meta, "op": "minhash_band_sigs", "n_hashes": N_HASHES,
-              "n_bands": N_BANDS},
+        meta={**meta, **_signature_meta()},
         n_buckets=n_buckets, key="band_sig")
+
+
+def _signature_meta() -> dict:
+    """Every constant that changes signature VALUES, recorded in the
+    layout marker: a persisted state table built under different
+    constants must read as STALE and be rewritten, not silently joined
+    against (3-gram corpus sigs vs 4-gram batch sigs would drop recall
+    to ~0 with no error). params_crc folds the seed-derived permutation
+    constants, so a seed change invalidates too."""
+    import zlib
+
+    return {"op": "minhash_band_sigs", "n_hashes": N_HASHES,
+            "n_bands": N_BANDS, "shingle_n": SHINGLE_N,
+            "params_crc": zlib.crc32(repr(MINHASH_PARAMS).encode())}
 
 
 def ingest_signatures(spark, path: str, table: str, build,
@@ -401,12 +434,24 @@ def deduplicate(df: DataFrame, id_col: str = "doc_id",
     toward N_BANDS demands near-identical signatures before two docs
     merge, shrinking clusters.
 
+    NULL-text docs are kept as SINGLETONS (unknown content is not "equal"
+    to other unknown content, and a null-keyed equi-join would silently
+    drop the rows — output is pinned to one row per input doc). Ids must
+    cast to bigint losslessly.
+
     Every step is a bounded equi-join or the log-rounds CC loop — no
     step is quadratic in duplication (the raw-LSH pathology measured in
     BENCH/SCALE_PROBE.md is avoided by construction). `track` receives
     the persisted md5-keyed projection for caller-owned release."""
+    # local group derivation rather than exact_dedup(): the verdict table
+    # needs the doc->rep MAP (not group stats), and the NULL-singleton
+    # key below is a deliberate semantic difference from exact_dedup's
+    # SQL-groupBy semantics (which q_dedup_exact pins against the oracle)
+    md5e = F.coalesce(
+        F.md5(text),
+        F.concat(F.lit("__null__:"), F.col(id_col).cast("string")))
     with_md5 = (df.select(F.col(id_col).cast("bigint").alias(id_col),
-                          F.md5(text).alias("_md5"))
+                          md5e.alias("_md5"))
                 .persist())
     if track is not None:
         track.append(with_md5)

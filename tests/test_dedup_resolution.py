@@ -98,6 +98,27 @@ def test_deduplicate_end_to_end_matches_union_find(spark):
     track[0].unpersist()
 
 
+def test_deduplicate_keeps_null_text_docs_as_singletons(spark):
+    """One verdict row per input doc even when text is NULL: null texts
+    are not 'equal' to each other (unknown content), so each stays a
+    kept singleton instead of silently vanishing through a null-keyed
+    equi-join."""
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [(0, f"{base} endA"), (1, f"{base} endA"),
+            (2, None), (3, None),
+            (4, "solo"), (5, "a b"), (6, "a b")]  # sub-shingle-width
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.canonical_id, r.keep)
+           for r in deduplicate(df).collect()}
+    assert len(out) == len(rows)
+    assert out[2] == (2, True) and out[3] == (3, True)
+    assert out[0] == (0, True) and out[1] == (0, False)
+    # short docs: no shingles, so no LSH linking — but exact dedup still
+    # folds byte-identical short texts
+    assert out[4] == (4, True)
+    assert out[5] == (5, True) and out[6] == (5, False)
+
+
 def test_deduplicate_min_shared_bands_is_a_refinement(spark):
     """Raising the precision knob can only SPLIT clusters (edges are a
     subset), never merge new ones; expectation re-derived by union-find

@@ -95,6 +95,23 @@ def test_incremental_near_dup_tracks_its_cache(spark):
     track[0].unpersist()
 
 
+def test_incremental_probe_after_own_ingest_counts_true_bands(spark):
+    """The probe-after-crash replay: the batch's signatures are ALREADY
+    in the corpus table (ingest committed, downstream lost). Self-pairs
+    must drop and pair band counts must be the TRUE distinct-band count,
+    not within + both cross directions (3x inflation would break every
+    n_shared_bands threshold downstream)."""
+    new = _docs(spark, 6, 10)
+    old = _docs(spark, 0, 6)
+    sigs_new = band_signatures(new)
+    disjoint = _pairs(incremental_lsh_pairs(sigs_new, band_signatures(old)))
+    # corpus that already absorbed the batch's own signatures
+    merged = band_signatures(old.unionByName(new))
+    overlap = _pairs(incremental_lsh_pairs(sigs_new, merged))
+    assert overlap == disjoint
+    assert all(1 <= n <= 4 for n in overlap.values())
+
+
 def test_merge_exact_groups_is_split_invariant(spark):
     b0, b1, b2 = _docs(spark, 0, 6), _docs(spark, 6, 10), _docs(spark, 10, 13)
     want = {r.text_md5: (r.keep_id, r.n_dups)
@@ -136,6 +153,39 @@ def test_signature_layout_probe_is_corpus_side_shuffle_free(
         plan = formatted_plan(q_bucketed)
         assert "Bucketed: true" in plan
         assert n_exchanges(q_bucketed) == n_exchanges(q_flat) - 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_signature_layout_rewrites_when_constants_change(spark, tmp_path):
+    """The marker records every signature-affecting constant (shingle_n,
+    hash count/bands, the seed-derived permutation constants): a state
+    table built under different constants is STALE and must be
+    rewritten, never silently joined against (mixed-grain signatures
+    would drop recall to ~0 with no error)."""
+    import json
+    from pathlib import Path
+
+    from setsm_postprocessing_python_spark.sources.bucketed import (
+        LAYOUT_MARKER)
+
+    old = _docs(spark, 0, 6)
+    table = "t_sig_stale"
+    path = str(tmp_path / "sigs")
+    try:
+        _, did = ensure_signature_layout(
+            spark, path, table, build=lambda: old,
+            meta={"snap": "s0"}, n_buckets=4)
+        assert did
+        marker = Path(path) / LAYOUT_MARKER
+        rec = json.loads(marker.read_text())
+        assert rec["shingle_n"] == 3 and "params_crc" in rec
+        rec["shingle_n"] = 4  # state written by a different tokenization
+        marker.write_text(json.dumps(rec))
+        _, did2 = ensure_signature_layout(
+            spark, path, table, build=lambda: old,
+            meta={"snap": "s0"}, n_buckets=4)
+        assert did2, "constant drift must trigger the rewrite path"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
