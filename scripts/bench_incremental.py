@@ -116,8 +116,70 @@ def run_size(spark, corpus_n: int) -> dict:
             "reps": REPS, "parallelism": CPUS}
 
 
+RESOLVE_SIZES = [int(s) for s in os.environ.get(
+    "INCR_RESOLVE_SIZES", "50000,500000").split(",")]
+RESOLVE_DUP = int(os.environ.get("INCR_RESOLVE_DUP", "10"))
+
+
+def synth_cluster_docs(spark, n: int, dup: int = RESOLVE_DUP):
+    """n docs in n/dup planted near-dup clusters: doc i shares its 30
+    base tokens with the other dup-1 variants of base (i % (n/dup)) and
+    differs by ONE trailing variant token — distinct texts (exact
+    collapse no-ops), high pairwise Jaccard (~0.9), bounded cluster
+    size (the LSH candidate volume per cluster is <= C(dup,2))."""
+    import pyspark.sql.functions as F
+
+    base = f"(id % {n // dup})"
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat(concat_ws(' ', transform(sequence(1, 30), "
+            f"j -> substr(md5(concat(cast(({base}) as string), ':', "
+            "cast(j as string))), 1, 6))), "
+            f"' v', cast(id div {n // dup} as string))").alias("text"))
+
+
+def run_resolve(spark, n: int) -> dict:
+    """Time the full pair->component->verdict resolution (deduplicate)
+    on a corpus of n/RESOLVE_DUP planted near-dup clusters; assert the
+    verdict invariants in-run (one row per doc, keeps == clusters found
+    by the pair graph, >= 90% of clusters fully collapsed)."""
+    import pyspark.sql.functions as F
+
+    from setsm_postprocessing_python_spark.operators import dedup as DD
+
+    docs = synth_cluster_docs(spark, n).persist()
+    n_docs = docs.count()
+    assert n_docs == n
+    track: list = []
+
+    def resolve():
+        out = DD.deduplicate(docs, track=track)
+        kept = out.where("keep").count()
+        total = out.count()
+        assert total == n, f"verdict rows {total} != docs {n}"
+        return kept
+
+    kept = resolve()
+    t = timed_min(resolve)
+    for c in track:
+        c.unpersist()
+    docs.unpersist()
+    n_clusters = n // RESOLVE_DUP
+    # LSH links ~J=0.9 pairs with high probability; allow a small tail of
+    # split clusters but require >= 90% full collapse
+    assert n_clusters <= kept <= int(n_clusters * 1.1), (n_clusters, kept)
+    return {"mode": "resolve", "corpus_n": n, "dup": RESOLVE_DUP,
+            "resolve_s": t, "kept": kept, "clusters": n_clusters,
+            "docs_per_sec": round(n / t, 1),
+            "reps": REPS, "parallelism": CPUS}
+
+
 def write_md(rows: list) -> None:
-    rows = sorted(rows, key=lambda r: (r["corpus_n"], r["batch_n"]))
+    resolve_rows = sorted((r for r in rows if r.get("mode") == "resolve"),
+                          key=lambda r: r["corpus_n"])
+    rows = sorted((r for r in rows if r.get("mode") != "resolve"),
+                  key=lambda r: (r["corpus_n"], r["batch_n"]))
     md = ["# Incremental snapshot dedup vs full recompute", "",
           "Per-batch near-dup probe over the persisted band-signature",
           "state table (operators/dedup.py: band_signatures +",
@@ -150,6 +212,31 @@ def write_md(rows: list) -> None:
                "with bench.py). The probe's residual growth is the",
                "bucket-local signature scan; at a fixed batch size the",
                "advantage keeps growing ~linearly with corpus size."]
+    if resolve_rows:
+        md += ["", "## Pair -> component -> verdict resolution at scale",
+               "",
+               "deduplicate() end-to-end (exact collapse, LSH pairs,",
+               "pointer-jumping CC, one verdict row per doc) on corpora",
+               "of planted 10-doc near-dup clusters (distinct texts,",
+               "~0.9 pairwise Jaccard — the worst case for resolution:",
+               "every doc is in a multi-doc component). Warm-min timing;",
+               "correctness asserted in-run (verdict rows == docs, kept",
+               "within 10% of planted cluster count).", "",
+               "| corpus docs | clusters | resolve s | kept | docs/sec |",
+               "|---|---|---|---|---|"]
+        for r in resolve_rows:
+            md.append(f"| {r['corpus_n']:,} | {r['clusters']:,} "
+                      f"| {r['resolve_s']} | {r['kept']:,} "
+                      f"| {r['docs_per_sec']:,} |")
+        if len(resolve_rows) >= 2:
+            lo, hi = resolve_rows[0], resolve_rows[-1]
+            md.append("")
+            md.append(
+                f"Corpus grew {hi['corpus_n'] // lo['corpus_n']}x: "
+                f"resolution {lo['resolve_s']}s -> {hi['resolve_s']}s "
+                f"({hi['resolve_s'] / max(lo['resolve_s'], 1e-9):.1f}x) — "
+                "~linear in docs; CC rounds stay log-bounded because "
+                "cluster diameter, not corpus size, drives them.")
     (REPO / "BENCH" / "INCREMENTAL.md").write_text("\n".join(md) + "\n")
 
 
@@ -158,17 +245,22 @@ def main() -> None:
 
     spark = get_spark(parallelism=CPUS, app_name="bench-incremental")
     hist = REPO / "BENCH" / "incremental.jsonl"
-    for n in CORPUS_SIZES:
-        row = run_size(spark, n)
+    if "--resolve" in sys.argv:
+        todo = [(run_resolve, n) for n in RESOLVE_SIZES]
+    else:
+        todo = [(run_size, n) for n in CORPUS_SIZES]
+    for fn, n in todo:
+        row = fn(spark, n)
         with hist.open("a") as f:
             f.write(json.dumps({"ts": time.time(), **row}) + "\n")
         print(json.dumps(row), flush=True)
     spark.stop()
     rows = [json.loads(ln) for ln in hist.read_text().splitlines() if ln]
-    # latest row per (corpus_n, batch_n) protocol key
+    # latest row per protocol key
     latest = {}
     for r in rows:
-        latest[(r["corpus_n"], r["batch_n"])] = r
+        latest[(r.get("mode", "probe"), r["corpus_n"],
+                r.get("batch_n"), r.get("dup"))] = r
     write_md(list(latest.values()))
 
 
