@@ -133,6 +133,65 @@ def write_stream_into_layout(stream: DataFrame, path: str, table: str,
             .option("checkpointLocation", checkpoint_dir))
 
 
+def write_stream_dedup(stream: DataFrame, workdir: str, table: str,
+                       checkpoint_dir: str, n_buckets: int = 8,
+                       id_col: str = "doc_id"):
+    """foreachBatch sink: STREAMING near-dup detection against all
+    history with exactly-once state growth — the continuous form of the
+    incremental snapshot dedup (operators/dedup.py). Per micro-batch:
+
+      1. probe — incremental_lsh_pairs(batch signatures, current
+         signature state table), written to workdir/pairs/batch_id=N
+         with overwrite (replays rewrite the same path);
+      2. grow state — ingest the batch's signatures under the batch id
+         (ensure_bucketed_ingest: replayed ids no-op, torn appends
+         swept).
+
+    The cumulative union of pairs/batch_id=*/ equals
+    lsh_candidate_pairs over everything streamed so far: every pair is
+    introduced by exactly one batch — its later endpoint's (or its own,
+    within-batch) — and corpus-vs-corpus pairs were emitted when their
+    later doc arrived.
+
+    Crash anywhere in 1-2-commit is safe BY CONSTRUCTION: a replayed
+    batch may re-probe a table that already holds its own signatures,
+    and incremental_lsh_pairs drops self-pairs and counts DISTINCT
+    bands, so the rewritten pairs dir is bit-identical either way (the
+    overlap-safety pytest in tests/test_incremental_dedup.py). The
+    signature state table must exist (dedup.ensure_signature_layout,
+    e.g. over an empty limit(0) slice — same bootstrap contract as
+    write_stream_into_layout), and the same cloned-session refresh rule
+    applies."""
+    from ..operators import dedup as DD
+    from ..sources import bucketed as B
+
+    origin = stream.sparkSession
+    sig_path = f"{workdir}/sigs"
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        sess = df.sparkSession
+        sigs = DD.band_signatures(df, id_col).persist()
+        try:
+            sess.catalog.refreshTable(table)
+            pairs = DD.incremental_lsh_pairs(sigs, sess.table(table),
+                                             id_col)
+            (pairs.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .parquet(f"{workdir}/pairs/batch_id={batch_id}"))
+            B.ensure_bucketed_ingest(
+                sess, sig_path, table, build=lambda: sigs,
+                ingest_id=f"stream-batch-{batch_id}",
+                n_buckets=n_buckets, key="band_sig")
+            origin.catalog.refreshTable(table)
+        finally:
+            sigs.unpersist()
+
+    return (stream.writeStream
+            .foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir))
+
+
 def incremental_tile_counts(stream: DataFrame, window: str = "10 minutes",
                             watermark: str = "1 hour") -> DataFrame:
     """Streaming version of the mosaic-tile rollup: geocode + quadkey tile
