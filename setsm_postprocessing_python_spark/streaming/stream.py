@@ -156,8 +156,10 @@ def write_stream_dedup(stream: DataFrame, workdir: str, table: str,
     Crash anywhere in 1-2-commit is safe BY CONSTRUCTION: a replayed
     batch may re-probe a table that already holds its own signatures,
     and incremental_lsh_pairs drops self-pairs and counts DISTINCT
-    bands, so the rewritten pairs dir is bit-identical either way (the
-    overlap-safety pytest in tests/test_incremental_dedup.py). The
+    bands, so the rewritten pairs dir holds the identical ROW SET
+    either way (the overlap-safety pytest in
+    tests/test_incremental_dedup.py; file bytes/row order are not
+    pinned — don't checksum the dir, compare rows). The
     signature state table must exist (dedup.ensure_signature_layout,
     e.g. over an empty limit(0) slice — same bootstrap contract as
     write_stream_into_layout), and the same cloned-session refresh rule

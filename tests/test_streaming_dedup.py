@@ -7,7 +7,7 @@ Claims pinned:
      exactly one batch);
   2. replaying the last batch by hand (the Structured Streaming crash
      contract: the last uncommitted batch re-runs) rewrites a
-     bit-identical pairs dir even though the state table already holds
+     row-identical pairs dir even though the state table already holds
      that batch's signatures, and the signature ingest no-ops.
 """
 
@@ -19,7 +19,6 @@ import tempfile
 from pathlib import Path
 
 import pytest
-from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
 
@@ -56,18 +55,22 @@ def test_stream_dedup_pairs_equal_full_recompute(spark, docs_dir, tmp_path):
                                 checkpoint_dir=str(tmp_path / "ckpt"),
                                 n_buckets=4)
              .trigger(availableNow=True).start())
-        q.awaitTermination(240)
+        assert q.awaitTermination(240), "stream did not finish in 240s"
 
         rec = json.loads(
             (Path(f"{wd}/sigs") / B.LAYOUT_MARKER).read_text())
         assert len(rec["ingests"]) >= 2  # really ran multiple batches
 
         # 1. cumulative pairs == full recompute over everything streamed
+        all_pairs = spark.read.parquet(f"{wd}/pairs")
         got = {(r.id_a, r.id_b): r.n_shared_bands
-               for r in spark.read.parquet(f"{wd}/pairs").collect()}
+               for r in all_pairs.collect()}
         want = {(r.id_a, r.id_b): r.n_shared_bands
                 for r in DD.lsh_candidate_pairs(static).collect()}
         assert got == want
+        # each pair emitted by exactly ONE batch (the dict compare above
+        # would silently absorb cross-batch duplicates)
+        assert all_pairs.count() == len(want)
         assert want, "sf0.001 documents must contain near-dup pairs"
         # state grew to one signature row set per doc
         spark.catalog.refreshTable(table)
