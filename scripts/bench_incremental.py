@@ -174,10 +174,41 @@ def run_resolve(spark, n: int) -> dict:
             "reps": REPS, "parallelism": CPUS}
 
 
+def run_flat_ab(spark, corpus_n: int) -> dict:
+    """Probe the SAME signature files through the bucketed catalog table
+    vs a plain parquet read (corpus side must then shuffle on band_sig):
+    the wall-clock value of the plan-pinned Exchange elimination at this
+    corpus size. Requires the corpus/sig layout from a prior run_size."""
+    from setsm_postprocessing_python_spark.operators import dedup as DD
+
+    corpus_dir = WORK / f"corpus_{corpus_n}"
+    sig_dir = WORK / f"sigs_{corpus_n}"
+    table = f"incr_sigs_{corpus_n}"
+    corpus = spark.read.parquet(str(corpus_dir))
+    sig_tbl, did = DD.ensure_signature_layout(
+        spark, str(sig_dir), table,
+        build=lambda: corpus, meta={"corpus_n": corpus_n}, n_buckets=32)
+    batch = synth_docs(spark, BATCH_N, id_offset=corpus_n)
+    sigs_flat = spark.read.parquet(str(sig_dir))
+
+    def probe(corpus_sigs):
+        return DD.incremental_lsh_pairs(
+            DD.band_signatures(batch), corpus_sigs).count()
+
+    t_bucketed = timed_min(lambda: probe(sig_tbl))
+    t_flat = timed_min(lambda: probe(sigs_flat))
+    return {"mode": "flat_ab", "corpus_n": corpus_n, "batch_n": BATCH_N,
+            "probe_bucketed_s": t_bucketed, "probe_flat_s": t_flat,
+            "speedup": round(t_flat / t_bucketed, 2),
+            "state_rebuilt": did, "reps": REPS, "parallelism": CPUS}
+
+
 def write_md(rows: list) -> None:
     resolve_rows = sorted((r for r in rows if r.get("mode") == "resolve"),
                           key=lambda r: r["corpus_n"])
-    rows = sorted((r for r in rows if r.get("mode") != "resolve"),
+    flat_ab_rows = sorted((r for r in rows if r.get("mode") == "flat_ab"),
+                          key=lambda r: r["corpus_n"])
+    rows = sorted((r for r in rows if r.get("mode") in (None, "probe")),
                   key=lambda r: (r["corpus_n"], r["batch_n"]))
     md = ["# Incremental snapshot dedup vs full recompute", "",
           "Per-batch near-dup probe over the persisted band-signature",
@@ -211,6 +242,27 @@ def write_md(rows: list) -> None:
                "with bench.py). The probe's residual growth is the",
                "bucket-local signature scan; at a fixed batch size the",
                "advantage keeps growing ~linearly with corpus size."]
+    if flat_ab_rows:
+        md += ["", "## Probe layout A/B: bucketed state table vs flat parquet",
+               "",
+               "The SAME signature files probed through the bucketed",
+               "catalog table vs a plain parquet read. HONEST NEGATIVE",
+               "at this batch size: both plans BROADCAST the small batch",
+               "(verified in the physical plans), so the corpus never",
+               "shuffles in EITHER layout and the bucketed scan's fixed",
+               "32-bucket task granularity makes it slightly slower. The",
+               "layout's Exchange elimination (plan-pinned under",
+               "no-broadcast in test_incremental_dedup.py) is the",
+               "guarantee for the OTHER regime — batches too large to",
+               "broadcast (backfills, snapshot-vs-snapshot joins) — not a",
+               "win for small-batch probes, which are already corpus-",
+               "shuffle-free via broadcast.", "",
+               "| corpus docs | batch docs | bucketed probe s |"
+               " flat probe s | speedup |", "|---|---|---|---|---|"]
+        for r in flat_ab_rows:
+            md.append(f"| {r['corpus_n']:,} | {r['batch_n']:,} "
+                      f"| {r['probe_bucketed_s']} | {r['probe_flat_s']} "
+                      f"| {r['speedup']}x |")
     if resolve_rows:
         md += ["", "## Pair -> component -> verdict resolution at scale",
                "",
@@ -246,6 +298,8 @@ def main() -> None:
     hist = REPO / "BENCH" / "incremental.jsonl"
     if "--resolve" in sys.argv:
         todo = [(run_resolve, n) for n in RESOLVE_SIZES]
+    elif "--flat-ab" in sys.argv:
+        todo = [(run_flat_ab, max(CORPUS_SIZES))]
     else:
         todo = [(run_size, n) for n in CORPUS_SIZES]
     for fn, n in todo:

@@ -271,9 +271,13 @@ def incremental_lsh_pairs(batch_sigs: DataFrame, corpus_sigs: DataFrame,
     the same pair set as ever re-running the full join.
 
     Scale shape: the join key is band_sig ALONE (sufficient — the band's
-    hash indexes are embedded in the string), so when the corpus
-    signature table is laid out bucketed by band_sig only the batch side
-    shuffles; the corpus side is a bucket-local scan at any corpus size.
+    hash indexes are embedded in the string). Small batches broadcast
+    against the corpus scan (corpus-side shuffle-free in ANY layout —
+    measured neutral-to-slightly-negative for the bucketed table,
+    BENCH/INCREMENTAL.md flat A/B); the bucketed layout is the
+    guarantee for batches too large to broadcast (backfills,
+    snapshot-vs-snapshot joins), where it keeps the corpus side
+    Exchange-free under the shuffle join (plan-pinned).
 
     Overlap safety (the probe-after-crash replay: a batch whose
     signatures were ALREADY ingested re-probes the table): self-pairs
