@@ -326,14 +326,23 @@ def merge_exact_groups(groups: DataFrame, batch: DataFrame,
     MERGE INTO shape at 10^12 rows; on Iceberg this is a single merge
     commit). keep_id = min id across history and batch, so the merge is
     associative and batch-order independent: folding any split of the
-    corpus equals exact_dedup over the union (pytest-pinned)."""
-    g = groups.select("text_md5", F.col("keep_id").alias("keep_id_g"),
+    corpus equals exact_dedup over the union (pytest-pinned).
+
+    The join is NULL-SAFE on text_md5: exact_dedup's groupBy folds all
+    NULL-text docs into one NULL-keyed group, and a plain full-outer
+    equi-join would never match the two sides' NULL groups — each merge
+    would add another NULL row and the split-invariance would silently
+    break exactly for the rows real crawls always contain."""
+    g = groups.select(F.col("text_md5").alias("md5_g"),
+                      F.col("keep_id").alias("keep_id_g"),
                       F.col("n_dups").alias("n_dups_g"))
     b = exact_dedup(batch, id_col, text).select(
-        "text_md5", F.col("keep_id").alias("keep_id_b"),
+        F.col("text_md5").alias("md5_b"),
+        F.col("keep_id").alias("keep_id_b"),
         F.col("n_dups").alias("n_dups_b"))
-    return (g.join(b, "text_md5", "full_outer")
-            .select("text_md5",
+    return (g.join(b, F.col("md5_g").eqNullSafe(F.col("md5_b")),
+                   "full_outer")
+            .select(F.coalesce("md5_g", "md5_b").alias("text_md5"),
                     F.least("keep_id_g", "keep_id_b").alias("keep_id"),
                     (F.coalesce("n_dups_g", F.lit(0))
                      + F.coalesce("n_dups_b", F.lit(0))).alias("n_dups")))

@@ -113,9 +113,17 @@ def test_incremental_probe_after_own_ingest_counts_true_bands(spark):
 
 
 def test_merge_exact_groups_is_split_invariant(spark):
-    b0, b1, b2 = _docs(spark, 0, 6), _docs(spark, 6, 10), _docs(spark, 10, 13)
+    # NULL-text docs in two different batches: exact_dedup folds all of
+    # them into ONE null-keyed group, so the merge's null-safe join must
+    # match the sides' NULL groups (a plain equi-join would add a new
+    # NULL row per merge and break the invariance)
+    nulls_a = spark.createDataFrame([(100, None)], "doc_id long, text string")
+    nulls_b = spark.createDataFrame([(101, None)], "doc_id long, text string")
+    b0 = _docs(spark, 0, 6).unionByName(nulls_a)
+    b1, b2 = _docs(spark, 6, 10), _docs(spark, 10, 13).unionByName(nulls_b)
     want = {r.text_md5: (r.keep_id, r.n_dups)
             for r in exact_dedup(b0.unionByName(b1).unionByName(b2)).collect()}
+    assert want[None] == (100, 2)  # the single merged NULL group
 
     def fold(*batches):
         g = exact_dedup(batches[0])
