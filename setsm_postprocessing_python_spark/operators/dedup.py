@@ -217,24 +217,49 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def near_dup_pipeline(df: DataFrame, id_col: str = "doc_id",
-                      text: str = "text") -> DataFrame:
+                      text: str = "text",
+                      track: list | None = None) -> DataFrame:
     """Production composition: EXACT dedup first, MinHash-LSH on the
     representatives only. At web scale most duplication is byte-identical
     (mirrors, boilerplate reposts); collapsing it first removes the
     quadratic blowup inside LSH buckets (k identical docs share every
     band -> k^2/2 candidate pairs, all with trivially-known similarity).
 
+    Plan shape (round 7): the representatives come from ONE aggregation
+    — groupBy(md5(text)) carrying (min id, the group's text, group size)
+    — instead of re-joining the full corpus against its own groupBy to
+    recover the rep rows (that join shuffled the full text column a
+    second time; guide §2.3 "aggregate before you shuffle"). Texts
+    within a group are byte-identical by key construction, so first()
+    is deterministic. The band-signature table is persisted (tiny: 4
+    short rows per distinct text) because BOTH sides of the candidate
+    self-join read it and no exchange reuse fires across the aliased
+    sides — without it the whole shingle+minhash pipeline ran twice.
+    `track` receives the persisted handle (caller-owned release, the
+    engine-wide convention).
+
     Output: (id_a < id_b, n_shared_bands, n_docs_a, n_docs_b) — candidate
     pairs between exact-duplicate GROUPS, weighted by group sizes so
     downstream dedup policies can score by affected document mass."""
-    groups = exact_dedup(df, id_col, text)  # (text_md5, keep_id, n_dups)
-    reps = (df.withColumn("_md5", F.md5(text))
-            .join(groups.select(F.col("text_md5").alias("_md5"),
-                                F.col("keep_id"), F.col("n_dups")),
-                  "_md5")
-            .where(F.col(id_col) == F.col("keep_id"))
-            .drop("_md5", "keep_id"))
-    pairs = lsh_candidate_pairs(reps, id_col)
+    # reps is read three times (signature build + both size joins) and
+    # bands twice (the self-join sides) — both are per-distinct-text tiny,
+    # so persist them rather than re-running the full-text aggregation /
+    # the shingle+minhash pipeline per reference
+    reps = (df.groupBy(F.md5(text).alias("_md5"))
+            .agg(F.min(id_col).alias(id_col),
+                 F.first(text).alias(text),
+                 F.count(F.lit(1)).alias("n_dups"))
+            .drop("_md5")
+            .persist())
+    bands = band_signatures(reps, id_col).persist()
+    if track is not None:
+        track.extend([reps, bands])
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    pairs = (a.join(b, ["band", "band_sig"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_shared_bands")))
     sz_a = reps.select(F.col(id_col).cast("bigint").alias("id_a"),
                        F.col("n_dups").alias("n_docs_a"))
     sz_b = reps.select(F.col(id_col).cast("bigint").alias("id_b"),

@@ -434,35 +434,47 @@ def feather_weight_field(df: DataFrame) -> DataFrame:
 # feather blend (oracle-checkable DataFrame algebra)
 # ---------------------------------------------------------------------------
 
-def feather_blend(df: DataFrame) -> DataFrame:
+def feather_blend(df: DataFrame, track: list | None = None) -> DataFrame:
     """Blend the two sides of each host pair over shared coarse blocks with
     a linear feather weight across the overlap's x-span, rescaled
     clip((w - 0.25) / (0.55 - 0.25), 0, 1) per lib/scenes2strips.py:461-476;
     value blend w*zA + (1-w)*zB (:634-692), presence OR, flags bit_or.
 
-    Pure JVM expressions: per-side per-block partial aggs, one equi-join on
-    (pair, block), window min/max for the span — no Python in the path."""
+    Pure JVM expressions. Plan shape (round 7): BOTH sides of a pair ride
+    ONE groupBy(pair, block) with side-conditional aggregates — the former
+    side-split self-join computed the aggregation subtree twice (no
+    exchange reuse across the aliased sides) and sort-merge-joined the
+    halves back (guide §2.4). The overlap x-span is a per-pair min/max
+    aggregate broadcast back onto the blocks — not a Window over all
+    blended rows, so no single-partition sort task exists at any grain
+    (the skew foot-gun VERDICT r6 flagged on the assembly path). The
+    per-(pair, block) table is persisted (it is read by the span agg and
+    the final projection; it is block-grid bounded, i.e. tiny); `track`
+    receives the handle for caller-owned release."""
     base = (df.withColumn("z", F.expr(D.z_expr(D.SPARK)))
               .withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
               .withColumn("block", F.expr(D.block_id_expr(D.SPARK)))
               .withColumn("hostnum", F.expr("cast(substring(group_id, 5) as int)"))
               .withColumn("pair", F.expr("cast(floor(cast(substring(group_id, 5) as int) / 2) as bigint)")))
-    agg = base.groupBy("pair", "block", "bx", (F.col("hostnum") % 2).alias("side")).agg(
-        F.sum("z").alias("sz"), F.count(F.lit(1)).alias("n"),
-        F.expr("bit_or(flags)").alias("fl"))
-    a = agg.where("side = 0").select("pair", "block", "bx",
-                                     F.col("sz").alias("sza"), F.col("n").alias("na"),
-                                     F.col("fl").alias("fla"))
-    b = agg.where("side = 1").select("pair", "block",
-                                     F.col("sz").alias("szb"), F.col("n").alias("nb"),
-                                     F.col("fl").alias("flb"))
-    j = a.join(b, ["pair", "block"], "inner")
-    from pyspark.sql import Window
-    w = Window.partitionBy("pair")
-    span0 = F.min("bx").over(w)
-    span1 = F.max("bx").over(w)
-    raw = (F.col("bx") - span0).cast("double") / \
-          F.greatest((span1 - span0).cast("double"), F.lit(1.0))
+    side = F.col("hostnum") % 2
+    j = (base.groupBy("pair", "block", "bx").agg(
+            F.sum(F.when(side == 0, F.col("z"))).alias("sza"),
+            F.count(F.when(side == 0, F.lit(1))).alias("na"),
+            F.expr("bit_or(CASE WHEN hostnum % 2 = 0 THEN flags END)")
+             .alias("fla"),
+            F.sum(F.when(side == 1, F.col("z"))).alias("szb"),
+            F.count(F.when(side == 1, F.lit(1))).alias("nb"),
+            F.expr("bit_or(CASE WHEN hostnum % 2 = 1 THEN flags END)")
+             .alias("flb"))
+         .where((F.col("na") > 0) & (F.col("nb") > 0))
+         .persist())
+    if track is not None:
+        track.append(j)
+    spans = j.groupBy("pair").agg(F.min("bx").alias("_bx0"),
+                                  F.max("bx").alias("_bx1"))
+    j = j.join(F.broadcast(spans), "pair")
+    raw = (F.col("bx") - F.col("_bx0")).cast("double") / \
+          F.greatest((F.col("_bx1") - F.col("_bx0")).cast("double"), F.lit(1.0))
     wgt = F.least(F.greatest((raw - 0.25) / (0.55 - 0.25), F.lit(0.0)), F.lit(1.0))
     return j.select(
         "pair", "block",
@@ -545,18 +557,44 @@ def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
     # distinct+anti-join jobs; a CALLER-supplied coreg table (pass-2 hold,
     # possibly stale) always goes through the full check
     internal_fit = coreg is None
-    if internal_fit:
-        coreg = coregister_pairs(df, pair_of, side_of=side_of)
 
     base = (df.withColumn("z", F.expr(D.z_expr(D.SPARK)))
               .withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
               .withColumn("by", F.expr(D.block_y_expr(D.SPARK)))
               .withColumn("pair", pair_of(F.col("group_id"))))
-    # referenced by both sides (a and b) — persist so the full-table scan
-    # + groupBy runs once; rows are per (pair, block, side), already small
+    # ONE combined aggregate serves BOTH the coregistration fit and the
+    # blend (round 7): the former shape scanned df and shuffled twice —
+    # once for the blend partials here and once inside coregister_pairs
+    # for the fit's per-block means — over the identical
+    # (pair, side, block) key set (guide §1.2: remove redundant passes).
+    # When the fit is internal, zsum rides along as the exact decimal the
+    # fit needs for bit-determinism (same expression as coregister_pairs)
+    # and min(group_id) labels the sides. Persisted: referenced by the
+    # fit's two cogroup sides and the blend's two sides; rows are per
+    # (pair, block, side), block-grid bounded.
     agg = base.groupBy("pair", "bx", "by", side_of().alias("side")).agg(
         F.sum("z").alias("sz"), F.count(F.lit(1)).alias("n"),
-        F.expr("bit_or(flags)").alias("fl")).persist()
+        F.expr("bit_or(flags)").alias("fl"),
+        *([F.min("group_id").alias("group_id"),
+           F.sum(F.col("z").cast("decimal(30,12)")).alias("zsum")]
+          if internal_fit else [])).persist()
+    if internal_fit:
+        # the cogrouped fit consumes exactly the rows coregister_pairs'
+        # internal (pair, side, block) aggregation would have produced:
+        # block = block_id_expr = by * 64 + bx, zsum exact decimal,
+        # min(group_id) per group — so the fitted output is identical
+        # (pinned by the live q_coregister/q_strip_assembly oracles)
+        blk = (F.col("by") * 64 + F.col("bx"))
+        fit_a = agg.where("side = 0").select(
+            "pair", "group_id", "zsum", "n", "bx", "by", blk.alias("block"))
+        fit_b = agg.where("side = 1").select(
+            F.col("pair").alias("pair_b"),
+            F.col("group_id").alias("group_id_b"),
+            F.col("zsum").alias("zsum_b"), F.col("n").alias("n_b"),
+            blk.alias("block_b"))
+        coreg = (fit_a.groupBy("pair")
+                 .cogroup(fit_b.groupBy("pair_b"))
+                 .applyInPandas(_coregister, COREG_SCHEMA))
 
     # trans is per-pair tiny but referenced THREE times (B-shift join,
     # usable semi-join, broken anti-selection) — without the persist each
@@ -640,16 +678,30 @@ def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
     # only usable pairs blend; the rest take the segment-break path below
     a_ok = a.join(F.broadcast(trans.where("usable").select("pair")),
                   "pair", "left_semi")
-    j = a_ok.join(bs, ["pair", "bx", "by"], "full_outer")
+    # persisted: the span aggregate and the final projection both read it
+    # (block-grain rows, bounded by the block grid)
+    j = a_ok.join(bs, ["pair", "bx", "by"], "full_outer").persist()
+    if track is not None:
+        track.append(j)
     in_a = F.col("na").isNotNull()
     in_b = F.col("zi").isNotNull() | F.col("nb").isNotNull()
     both = in_a & F.col("zi").isNotNull()
-    from pyspark.sql import Window
-    w = Window.partitionBy("pair")
-    span0 = F.min(F.when(both, F.col("bx"))).over(w)
-    span1 = F.max(F.when(both, F.col("bx"))).over(w)
-    raw = (F.col("bx") - span0).cast("double") / \
-        F.greatest((span1 - span0).cast("double"), F.lit(1.0))
+    # feather span per pair as an AGGREGATE broadcast back onto the rows,
+    # not a Window.partitionBy(pair) over all blended rows (round 7 —
+    # the one skew-prone window VERDICT r6 flagged: at the registered
+    # 'super' grain every row landed in ONE window partition / one sort
+    # task). The min/max run as partial aggregates wherever the rows
+    # live; pairs with no two-sided block get no span row (left join ->
+    # NULL span -> NULL wgt), exactly the NULL the when(both)-filtered
+    # window min produced. Upstream agg/trans are persisted, so the
+    # second traversal for the span costs only the tiny block-grain
+    # joins.
+    spans = (j.where(both)
+             .groupBy("pair").agg(F.min("bx").alias("_bx0"),
+                                  F.max("bx").alias("_bx1")))
+    j = j.join(F.broadcast(spans), "pair", "left")
+    raw = (F.col("bx") - F.col("_bx0")).cast("double") / \
+        F.greatest((F.col("_bx1") - F.col("_bx0")).cast("double"), F.lit(1.0))
     wgt = F.least(F.greatest((raw - 0.25) / (0.55 - 0.25), F.lit(0.0)), F.lit(1.0))
     # block id packs with the FULL stride, not the 64 of block_id_expr:
     # the fitted shift can push a target block to bx = -1, and with a

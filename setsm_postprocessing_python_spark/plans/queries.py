@@ -47,11 +47,17 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     if the two engine paths ever diverge."""
     df = P.geocoded_pages(spark, sf_dir)
     tiles = OT.fixed_depth_tiles(D.TILE_DEPTH)
-    pip = OT.assign_tiles_pip(df, tiles).select("url", "tile_id")
-    qk = OT.assign_tiles_quadkey(df).select("url", F.col("tile_id").alias("tile_qk"))
-    return (pip.join(qk, "url")
-            .select("url", "tile_id", "tile_qk",
-                    (F.col("tile_id") == F.col("tile_qk")).alias("tiles_match")))
+    # both assignment paths are per-row functions of (lat, lon), so they
+    # ride ONE frame: the former url self-join (pip side vs quadkey side)
+    # shuffled/broadcast the whole table just to zip two columns that were
+    # computed from the same scan (guide §2.4: remove shuffles outright —
+    # plan went 2 scans + BroadcastHashJoin -> 1 scan, join-free). Rows
+    # are identical: the join was 1:1 on the unique url.
+    pip = OT.assign_tiles_pip(df, tiles).withColumn(
+        "tile_qk", F.expr(D.quadkey_expr(D.SPARK)))
+    return pip.select(
+        "url", "tile_id", "tile_qk",
+        (F.col("tile_id") == F.col("tile_qk")).alias("tiles_match"))
 
 
 def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

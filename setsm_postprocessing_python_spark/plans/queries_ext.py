@@ -9,8 +9,6 @@ pure-numpy implementations in tests/.
 
 from __future__ import annotations
 
-import uuid
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -93,18 +91,31 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = df.select("doc_id", F.md5("text").alias("k"))
     uniq = (df.select(F.md5("text").alias("k"), "text")
               .dropDuplicates(["k"]))
-    # per-invocation view name, dropped as soon as spark.sql has analyzed
-    # the plan (resolution is eager; the resolved plan no longer needs the
-    # view) — two concurrent invocations on one session cannot race, and
-    # no session-global named state outlives query construction
-    vname = f"_fp_uniq_{uuid.uuid4().hex}"
-    uniq.createOrReplaceTempView(vname)
-    try:
-        fp = spark.sql(T.fingerprint_sql(D.SPARK, vname, id_col="k"))
-    finally:
-        spark.catalog.dropTempView(vname)
-    sh = DD.simhash(uniq, id_col="k")
-    return (keys.join(fp.join(sh, "k"), "k")
+    # ONE token explode + ONE groupBy computes the rolling-hash
+    # fingerprint AND all 32 SimHash bit-sums (guide §2.3/§2.4: the
+    # former shape tokenized + exploded + aggregated the distinct texts
+    # TWICE — separate fingerprint and simhash subtrees — and joined the
+    # two 1:1 results back; no exchange reuse fired, so the whole
+    # distinct-text pipeline ran twice). Exact integer arithmetic is
+    # unchanged term-for-term, so values are bit-identical.
+    m31 = T.MERSENNE31
+    powers = ", ".join(str(p) for p in T.FP_BASE_POWERS)
+    toks = (uniq.select(
+        "k", F.posexplode(F.expr(D.tokens_expr(D.SPARK))).alias("pos", "tok"))
+        .withColumn("h", F.expr(D.hex8_i64("tok", 1, D.SPARK))))
+    fp_term = (f"(h % {m31}) * element_at(array({powers}), "
+               f"cast(pos % 8 + 1 as int)) % {m31}")
+    sums = toks.groupBy("k").agg(
+        F.expr(f"CAST(sum({fp_term}) % {m31} AS BIGINT)").alias("fingerprint"),
+        *[F.sum(F.expr(f"CASE WHEN (shiftright(h, {j}) & 1) = 1 "
+                       f"THEN 1 ELSE -1 END")).alias(f"s{j}")
+          for j in range(DD.SIMHASH_BITS)])
+    sig = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN shiftleft(cast(1 as bigint), {j}) "
+        f"ELSE cast(0 as bigint) END" for j in range(DD.SIMHASH_BITS))
+    fpsh = sums.select("k", "fingerprint",
+                       F.expr(sig).cast("bigint").alias("simhash"))
+    return (keys.join(fpsh, "k")
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     "fingerprint", "simhash"))
 
@@ -160,7 +171,8 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference analogue: redundancy gates skip known-covered work before
     expensive steps (lib/scenes2strips.py:271-274). q_minhash_lsh keeps
     the raw path as the band-algebra oracle."""
-    return DD.near_dup_pipeline(P.pages(spark, sf_dir))
+    return DD.near_dup_pipeline(P.pages(spark, sf_dir),
+                                track=_TRACKED_CACHES)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,7 +293,7 @@ def q_coregister(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_feather_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = with_flags(P.geocoded_pages(spark, sf_dir))
-    fb = M.feather_blend(df)
+    fb = M.feather_blend(df, track=_TRACKED_CACHES)
     # round the float blend for cross-engine hashing (sum order inside
     # groupBy partials is partitioning-dependent at the last ulp)
     return fb.select("pair", "block", F.round("w", 6).alias("w"),

@@ -312,3 +312,38 @@ def test_stored_block_requires_column(spark):
 
     with _pytest.raises(ValueError, match="block"):
         knn_join_blocked(geocoded_pages(spark, SF), use_stored_block=True)
+
+
+def test_strip_assembly_has_no_pair_window(spark):
+    """The feather span must be an aggregate + broadcast join, never a
+    Window.partitionBy(pair) over the blended rows: at the registered
+    'super' grain every blended row would land in ONE window partition
+    (a single sort task — the round-6 skew foot-gun). Pins both the
+    full assembly and the standalone feather_blend."""
+    import pyspark.sql.functions as F
+
+    from setsm_postprocessing_python_spark.operators import merge as M
+    from setsm_postprocessing_python_spark.operators.flags import with_flags
+    from setsm_postprocessing_python_spark.sources.pages import geocoded_pages
+
+    df = with_flags(geocoded_pages(spark, SF))
+    for out in (
+        M.strip_assemble(df, pair_of=lambda c: F.lit("all"), max_rmse=100.0),
+        M.feather_blend(df),
+    ):
+        plan = formatted_plan(out)
+        assert "Window" not in plan, "pair-partitioned Window crept back"
+
+
+def test_feather_blend_single_aggregation(spark):
+    """Both sides of the blend ride ONE groupBy(pair, block): the plan
+    holds exactly one shuffle under the (persisted) per-block table plus
+    the broadcast of the span aggregate — not a side-split self-join."""
+    from setsm_postprocessing_python_spark.operators import merge as M
+    from setsm_postprocessing_python_spark.operators.flags import with_flags
+    from setsm_postprocessing_python_spark.sources.pages import geocoded_pages
+
+    out = M.feather_blend(with_flags(geocoded_pages(spark, SF)))
+    plan = formatted_plan(out)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # span re-attach

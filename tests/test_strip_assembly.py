@@ -277,7 +277,7 @@ def test_strip_assemble_track_unpersists(spark):
     out = M.strip_assemble(df, pair_of=lambda c: F.lit("all"),
                            max_rmse=100.0, track=handles)
     assert out.count() > 0
-    assert len(handles) == 2  # agg + trans
+    assert len(handles) == 3  # agg + trans + blend join (round 7)
     assert all(h.storageLevel.useMemory for h in handles)
     for h in handles:
         h.unpersist()
