@@ -284,13 +284,14 @@ def coregister_pairs(df: DataFrame, pair_of,
     (default: host-number parity)."""
     if side_of is None:
         side_of = _host_parity
-    rows = (df.withColumn("z", F.expr(D.z_expr(D.SPARK)))
-              .withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
-              .withColumn("by", F.expr(D.block_y_expr(D.SPARK)))
-              .withColumn("block", F.expr(D.block_id_expr(D.SPARK)))
-              .withColumn("pair", pair_of(F.col("group_id")))
-              .withColumn("side", side_of())
-              .select("pair", "side", "group_id", "z", "bx", "by", "block"))
+    rows = df.select(
+        pair_of(F.col("group_id")).alias("pair"),
+        side_of().alias("side"),
+        "group_id",
+        F.expr(D.z_expr(D.SPARK)).alias("z"),
+        F.expr(D.block_x_expr(D.SPARK)).alias("bx"),
+        F.expr(D.block_y_expr(D.SPARK)).alias("by"),
+        F.expr(D.block_id_expr(D.SPARK)).alias("block"))
     # PER-BLOCK partials before the cogroup: the fit consumes block means,
     # so the shuffle into the fit task carries one row per (pair, side,
     # block) — map-side combine applies, and pair-task input is O(blocks)
@@ -451,11 +452,15 @@ def feather_blend(df: DataFrame, track: list | None = None) -> DataFrame:
     per-(pair, block) table is persisted (it is read by the span agg and
     the final projection; it is block-grid bounded, i.e. tiny); `track`
     receives the handle for caller-owned release."""
-    base = (df.withColumn("z", F.expr(D.z_expr(D.SPARK)))
-              .withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
-              .withColumn("block", F.expr(D.block_id_expr(D.SPARK)))
-              .withColumn("hostnum", F.expr("cast(substring(group_id, 5) as int)"))
-              .withColumn("pair", F.expr("cast(floor(cast(substring(group_id, 5) as int) / 2) as bigint)")))
+    derived = ("z", "bx", "block", "hostnum", "pair")
+    base = df.select(
+        *[c for c in df.columns if c not in derived],
+        F.expr(D.z_expr(D.SPARK)).alias("z"),
+        F.expr(D.block_x_expr(D.SPARK)).alias("bx"),
+        F.expr(D.block_id_expr(D.SPARK)).alias("block"),
+        F.expr("cast(substring(group_id, 5) as int)").alias("hostnum"),
+        F.expr("cast(floor(cast(substring(group_id, 5) as int) / 2) as bigint)")
+         .alias("pair"))
     side = F.col("hostnum") % 2
     j = (base.groupBy("pair", "block", "bx").agg(
             F.sum(F.when(side == 0, F.col("z"))).alias("sza"),
@@ -558,10 +563,18 @@ def strip_assemble(df: DataFrame, coreg: DataFrame | None = None,
     # possibly stale) always goes through the full check
     internal_fit = coreg is None
 
-    base = (df.withColumn("z", F.expr(D.z_expr(D.SPARK)))
-              .withColumn("bx", F.expr(D.block_x_expr(D.SPARK)))
-              .withColumn("by", F.expr(D.block_y_expr(D.SPARK)))
-              .withColumn("pair", pair_of(F.col("group_id"))))
+    # one select, not a withColumn chain: every DataFrame transformation
+    # re-analyzes the whole plan eagerly driver-side, and this operator is
+    # built twice per registered query — batching the derivations cuts the
+    # per-invocation py4j/analysis cost (guide §1.2 step 2: per-task work
+    # includes the driver's plan work for second-long stages)
+    derived = ("z", "bx", "by", "pair")
+    base = df.select(
+        *[c for c in df.columns if c not in derived],
+        F.expr(D.z_expr(D.SPARK)).alias("z"),
+        F.expr(D.block_x_expr(D.SPARK)).alias("bx"),
+        F.expr(D.block_y_expr(D.SPARK)).alias("by"),
+        pair_of(F.col("group_id")).alias("pair"))
     # ONE combined aggregate serves BOTH the coregistration fit and the
     # blend (round 7): the former shape scanned df and shuffled twice —
     # once for the blend partials here and once inside coregister_pairs

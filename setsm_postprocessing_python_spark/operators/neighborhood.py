@@ -64,12 +64,32 @@ def ring_density(df: DataFrame, ring: int = 1,
 
     occupied_only: restrict output to cells that contain >=1 page (the
     data-footprint cells), matching the raster data-density map evaluated
-    at data pixels."""
-    per_cell = df.groupBy("cell", "cell_x", "cell_y").agg(
-        F.count(F.lit(1)).alias("n"))
-    scattered = _scatter_to_ring(per_cell, ring)
+    at data pixels.
+
+    Round 7: the former pre-aggregate (groupBy(cell) -> Exchange ->
+    scatter -> groupBy(target)) paid a FULL extra shuffle to combine
+    rows the final aggregation's map-side partial combines anyway: for a
+    count kernel, scattering the raw rows and counting at the target
+    leaves the shuffle volume identical (bounded by 9x the per-partition
+    distinct cells, page-count independent — the partial agg IS the
+    per-cell combine, guide §2.3 "aggregate before you shuffle" without
+    paying an exchange for it). Measured 1.21 s -> 0.50 s on the 200k-row
+    bench stage, row-identical."""
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(dx == 0 and dy == 0).alias("s"))
+        for dx, dy in ring_offsets(ring)
+    ])
+    scattered = (df.select("cell_x", "cell_y")
+                 .withColumn("_o", F.explode(offsets))
+                 .select(
+                     ((F.col("cell_y") + F.col("_o.dy"))
+                      * F.lit(D.LON_CELL_STRIDE)
+                      + (F.col("cell_x") + F.col("_o.dx")))
+                     .alias("target_cell"),
+                     F.col("_o.s").alias("_self")))
     dens = scattered.groupBy("target_cell").agg(
-        F.sum("n").alias("n_in_ring"), F.max("_self").alias("_occ"))
+        F.count(F.lit(1)).alias("n_in_ring"), F.max("_self").alias("_occ"))
     if occupied_only:
         dens = dens.where("_occ")
     return dens.select(F.col("target_cell").alias("cell"), "n_in_ring")

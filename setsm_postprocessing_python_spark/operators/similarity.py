@@ -186,17 +186,57 @@ def _cogroup_pair_cos(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _super_group_pair_cos(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Super-group wrapper over _cogroup_pair_cos: one pandas invocation
-    handles MANY hash-coalesced buckets; the per-bucket pair semantics
-    are preserved by an in-UDF groupby on the real bucket key."""
-    outs = [_cogroup_pair_cos(sub)
-            for _, sub in pdf.groupby("bkt", sort=False)]
-    outs = [o for o in outs if len(o)]
-    if not outs:
-        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
-                             "nbr_id": pd.Series([], dtype="int64"),
-                             "cosine": pd.Series([], dtype="float64")})
-    return pd.concat(outs, ignore_index=True)
+    """Super-group kernel: one pandas invocation handles MANY
+    hash-coalesced buckets. Fully vectorized (round 7 — the previous
+    shape ran a pandas sub-frame + _cogroup_pair_cos per bucket, i.e.
+    hundreds of tiny stack/einsum calls per task, and recomputed each
+    row's norm once PER PAIR): stack the group's vectors once, take each
+    row's norm once, enumerate the per-bucket (a-probe x b-home) pair
+    index arrays over a stable bucket sort, then run ONE chunked float64
+    gather + einsum over the concatenated pairs. The dot products are the
+    same einsum over the same float64 rows and the norm of a row does not
+    depend on which gather it sits in, so cosines are bit-identical to
+    the per-bucket kernel (golden-pinned by q_ann_lsh/q_ann_dedup)."""
+    empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                          "nbr_id": pd.Series([], dtype="int64"),
+                          "cosine": pd.Series([], dtype="float64")})
+    if not len(pdf):
+        return empty
+    bkt = pdf["bkt"].to_numpy()
+    order = np.argsort(bkt, kind="stable")
+    bkt = bkt[order]
+    ids = pdf["vec_id"].to_numpy()[order]
+    isb = pdf["is_b"].to_numpy()[order]
+    mat = np.stack(pdf["v"].to_numpy())[order].astype(np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
+    ends = np.r_[starts[1:], len(bkt)]
+    pa_parts, pb_parts = [], []
+    for s, e in zip(starts, ends):
+        ib = s + np.flatnonzero(isb[s:e])
+        if not len(ib):
+            continue
+        ia = np.arange(s, e)
+        pa = np.repeat(ia, len(ib))
+        pb = np.tile(ib, len(ia))
+        keep = ids[pa] != ids[pb]
+        if keep.any():
+            pa_parts.append(pa[keep])
+            pb_parts.append(pb[keep])
+    if not pa_parts:
+        return empty
+    pa = np.concatenate(pa_parts)
+    pb = np.concatenate(pb_parts)
+    chunk = 1 << 20  # bound the gathered pair matrices, not more pairs
+    cos_parts = []
+    for lo in range(0, len(pa), chunk):
+        ca, cb = pa[lo:lo + chunk], pb[lo:lo + chunk]
+        dots = np.einsum("ij,ij->i", mat[ca], mat[cb])
+        cos_parts.append(dots / (norms[ca] * norms[cb]))
+    return pd.DataFrame({
+        "vec_id": ids[pa].astype(np.int64),
+        "nbr_id": ids[pb].astype(np.int64),
+        "cosine": np.concatenate(cos_parts)})
 
 
 def _cogroup_topk(k: int):
@@ -512,9 +552,16 @@ def lsh_candidate_cosines(df: DataFrame, dim: int, n_tables: int = 8,
         # kernel via an in-UDF groupby — same pairs, same cosines, ~32x
         # fewer pandas invocations here. Derived from n (known: sizing
         # already needed it), so no extra job.
+        # floor 256 (round 7, was 64): with few groups a handful of hot
+        # buckets hash together into one jumbo kernel task and the stage
+        # rides on that straggler (measured on the bench corpus: floor 64
+        # gave 2.1-10.7 s swings, floor 256 a stable ~1.7 s — §2.6 of the
+        # optimization guide). At scale the n_entries>>16 term dominates
+        # and the floor is inert; the per-vec top-k is grouping-invariant
+        # (see _super_group_topk), so results are identical.
         if n is not None:
             n_entries = n * (1 + min(probe_bits, planes_per_table)) * n_tables
-            n_super = int(max(64, min(1 << 20, n_entries >> 16)))
+            n_super = int(max(256, min(1 << 20, n_entries >> 16)))
         else:  # explicit planes, no n_hint: skip the sizing job entirely
             n_super = 4096
         kernel = (_super_group_topk(group_topk) if group_topk

@@ -324,21 +324,30 @@ def q_strip_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_strip_assembly.py."""
     # both variants consume the same projection; prune to the 5 needed
     # columns (dropping text — the flags tokenization is the expensive
-    # part) and persist so the scan + flag derivation run once, not twice.
+    # part). Round 7: the two grains run as ONE strip_assemble pass —
+    # their pair-key spaces are disjoint ('all' vs 'pairN'), so exploding
+    # each row into its two variant labels and pairing by variant yields
+    # the identical per-pair groups while every stage (aggregate, cogroup
+    # fit, blend) runs once over the union instead of twice over the
+    # table + a plan-level union (halves the scans/shuffles AND the
+    # driver-side plan work of the formerly-duplicated operator tree).
     # All persists are tracked for caller-owned reclamation
     # (release_caches) — see the _TRACKED_CACHES note at the top.
     df = (with_flags(P.geocoded_pages(spark, sf_dir))
-          .select("group_id", "url", "flags", "cell_x", "cell_y").persist())
+          .select("group_id", "url", "flags", "cell_x", "cell_y",
+                  F.explode(F.array(F.lit("super"), F.lit("host")))
+                  .alias("_variant"))
+          .persist())
     _TRACKED_CACHES.append(df)
-    sup = M.strip_assemble(df, pair_of=lambda c: F.lit("all"),
+    pair_of = lambda c: F.when(F.col("_variant") == "super",  # noqa: E731
+                               F.lit("all")).otherwise(M.host_pair(c))
+    out = M.strip_assemble(df, pair_of=pair_of,
                            max_rmse=STRIP_ASSEMBLY_RMSE,
                            track=_TRACKED_CACHES)
-    host = M.strip_assemble(df, max_rmse=STRIP_ASSEMBLY_RMSE,
-                            track=_TRACKED_CACHES)
-    out = (sup.withColumn("variant", F.lit("super"))
-           .unionByName(host.withColumn("variant", F.lit("host"))))
     return out.select(
-        "variant", "pair", "block", "src",
+        F.when(F.col("pair") == "all", F.lit("super"))
+         .otherwise(F.lit("host")).alias("variant"),
+        "pair", "block", "src",
         F.round("w", 6).alias("w"),
         F.round("z_strip", 6).alias("z_strip"),
         F.col("n_pages").cast("bigint").alias("n_pages"),

@@ -169,19 +169,26 @@ def q_diff_strips(spark: SparkSession, sf_dir: str) -> DataFrame:
     per host pair, per shared coarse block: dz = mean(z_odd) - mean(z_even);
     the block with the highest combined page count is the best crop window
     (argmax -> row_number()=1, ties by block id)."""
-    base = (P.geocoded_pages(spark, sf_dir)
-            .withColumn("z", F.expr(D.z_expr(D.SPARK)))
-            .withColumn("block", F.expr(D.block_id_expr(D.SPARK)))
-            .withColumn("hostnum", F.expr("cast(substring(group_id, 5) as int)"))
-            .withColumn("pair", F.expr(
-                "cast(floor(cast(substring(group_id, 5) as int) / 2) as bigint)")))
-    agg = base.groupBy("pair", "block", (F.col("hostnum") % 2).alias("side")).agg(
-        F.sum("z").alias("sz"), F.count(F.lit(1)).alias("n"))
-    a = agg.where("side = 0").select("pair", "block", F.col("sz").alias("sza"),
-                                     F.col("n").alias("na"))
-    b = agg.where("side = 1").select("pair", "block", F.col("sz").alias("szb"),
-                                     F.col("n").alias("nb"))
-    j = a.join(b, ["pair", "block"])
+    gp = P.geocoded_pages(spark, sf_dir)
+    derived = ("z", "block", "hostnum", "pair")
+    base = gp.select(
+        *[c for c in gp.columns if c not in derived],
+        F.expr(D.z_expr(D.SPARK)).alias("z"),
+        F.expr(D.block_id_expr(D.SPARK)).alias("block"),
+        F.expr("cast(substring(group_id, 5) as int)").alias("hostnum"),
+        F.expr("cast(floor(cast(substring(group_id, 5) as int) / 2) as bigint)")
+         .alias("pair"))
+    # both sides ride ONE groupBy(pair, block) with side-conditional
+    # aggregates (round 7, same shape as feather_blend): the former
+    # side-split self-join computed the aggregation subtree twice and
+    # joined the halves back (guide §2.4)
+    side = F.col("hostnum") % 2
+    j = (base.groupBy("pair", "block").agg(
+            F.sum(F.when(side == 0, F.col("z"))).alias("sza"),
+            F.count(F.when(side == 0, F.lit(1))).alias("na"),
+            F.sum(F.when(side == 1, F.col("z"))).alias("szb"),
+            F.count(F.when(side == 1, F.lit(1))).alias("nb"))
+         .where((F.col("na") > 0) & (F.col("nb") > 0)))
     w = Window.partitionBy("pair").orderBy(
         (F.col("na") + F.col("nb")).desc(), F.col("block").asc())
     return (j.withColumn("win_rank", F.row_number().over(w))

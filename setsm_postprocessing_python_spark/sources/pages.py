@@ -61,27 +61,29 @@ def pages(spark: SparkSession, sf_dir: str, with_html: bool = False) -> DataFram
     Column parity with sql/dialect.py:pages_cte is exact — this is the Spark
     rendering of the same expression templates.
     """
-    df = read_documents(spark, sf_dir).select(
+    # ONE select (not a withColumn chain): every transformation analyzes
+    # its plan eagerly on the driver, and this is the root of nearly every
+    # query — keeping it a single projection keeps per-invocation plan
+    # cost flat. warc_ts is the real timestamp for engine-side use
+    # (windowing/streaming); oracle comparisons use warc_epoch (bigint)
+    # for stable hashing.
+    epoch = F.expr(D.warc_epoch_expr())
+    cols = [
         F.expr(D.url_expr(D.SPARK)).alias("url"),
-        F.expr(D.warc_epoch_expr()).alias("warc_epoch"),
+        epoch.alias("warc_epoch"),
         F.expr(D.group_id_expr(D.SPARK)).alias("group_id"),
         "doc_id",
         "text",
         "lang",
         "n_chars",
-    )
-    # real timestamp for engine-side use (windowing/streaming); oracle
-    # comparisons use warc_epoch (bigint) for stable hashing
-    df = df.withColumn("warc_ts", F.timestamp_seconds("warc_epoch"))
+        F.timestamp_seconds(epoch).alias("warc_ts"),
+    ]
     if with_html:
-        df = df.withColumn(
-            "html",
-            F.encode(
-                F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
-                "utf-8",
-            ),
-        )
-    return df
+        cols.append(F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"),
+                     F.lit("</body></html>")),
+            "utf-8").alias("html"))
+    return read_documents(spark, sf_dir).select(*cols)
 
 
 def geocoded_pages(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
@@ -108,10 +110,13 @@ def geocoded_pages(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
         if tbl is not None:
             return tbl
     df = pages(spark, sf_dir, **kw)
-    return (
-        df.withColumn("lat", F.expr(D.lat_expr(D.SPARK)))
-        .withColumn("lon", F.expr(D.lon_expr(D.SPARK)))
-        .withColumn("cell_x", F.expr(D.cell_x_expr()))
-        .withColumn("cell_y", F.expr(D.cell_y_expr()))
-        .withColumn("cell", F.expr(D.cell_id_from_xy()))
-    )
+    # single projection (see pages()): lat/lon referenced by name so the
+    # cell derivations resolve against the just-aliased columns
+    lat, lon = F.expr(D.lat_expr(D.SPARK)), F.expr(D.lon_expr(D.SPARK))
+    cx = F.expr(D.cell_x_expr())
+    cy = F.expr(D.cell_y_expr())
+    return df.select(
+        "*", lat.alias("lat"), lon.alias("lon"),
+    ).select(
+        "*", cx.alias("cell_x"), cy.alias("cell_y"),
+    ).select("*", F.expr(D.cell_id_from_xy()).alias("cell"))
