@@ -443,10 +443,11 @@ def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
     pair — on the 16k-vector bench stage that is ~100 MB shuffled vs
     ~4 GB for the per-pair re-attach path (measured: re-attach joins
     34.6 s + pair-UDF 23 s -> bucket re-rank runs the same FLOPs on
-    co-located data). Cross-table duplicate pairs are removed by a
-    distinct on the narrow stream (cosine is bit-deterministic per pair —
-    same float64 gather + einsum — so the 3-column distinct equals the
-    id-pair distinct). No broadcast, no driver collect: the shape holds
+    co-located data). Cross-table duplicate pairs are removed inside the
+    ranking window (cosine is bit-deterministic per pair — same float64
+    gather + einsum — so duplicates sort adjacently and a lag(nbr_id)
+    check drops them without a dedicated distinct exchange). No
+    broadcast, no driver collect: the shape holds
     at any n. Hot-bucket skew is bounded by the planes_per_table sizing
     below; in-UDF pair enumeration is chunked so a jumbo bucket degrades
     to more chunks, not more memory.
@@ -482,7 +483,18 @@ def lsh_topk(df: DataFrame, dim: int, k: int = 3, n_tables: int = 8,
     j = lsh_candidate_cosines(df, dim, n_tables, planes_per_table, id_col,
                               vec_col, seed, n_hint, probe_bits, rerank,
                               group_topk=k)
+    # cross-group duplicate pairs are removed INSIDE the ranking window
+    # (round 7): cosine is a deterministic function of the id pair, so
+    # duplicates of a pair sort adjacently under (cosine DESC, nbr_id)
+    # and a lag(nbr_id) comparison drops them — one Exchange + Sort
+    # carries dedup AND rank, where the former standalone .distinct()
+    # paid its own full exchange of the candidate stream before the
+    # window's (guide §2.4: two operations keyed compatibly share one
+    # exchange).
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    j = (j.withColumn("_dup", F.coalesce(
+            F.lag("nbr_id").over(w) == F.col("nbr_id"), F.lit(False)))
+         .where(~F.col("_dup")).drop("_dup"))
     return (j.withColumn("sim_rank", F.row_number().over(w))
              .where(F.col("sim_rank") <= k)
              .select(F.col("vec_id").cast("bigint"), F.col("nbr_id").cast("bigint"),
@@ -499,8 +511,11 @@ def lsh_candidate_cosines(df: DataFrame, dim: int, n_tables: int = 8,
     """The LSH candidate stream shared by lsh_topk (-> window top-k) and
     embedding_near_dup(method='lsh') (-> symmetric threshold filter):
     (vec_id, nbr_id, cosine) for every a-probe x b-home bucket collision,
-    deduplicated across tables, cosine exact (float64 gather + einsum).
-    Directed: vec_id's probe buckets against nbr_id's home buckets.
+    cosine exact (float64 gather + einsum). A pair colliding in several
+    groups may appear multiple times WITH IDENTICAL cosine — consumers
+    dedup inside a shuffle they already pay (see lsh_topk /
+    embedding_near_dup). Directed: vec_id's probe buckets against
+    nbr_id's home buckets.
 
     group_topk (top-k callers only — NEVER the threshold path, which
     needs EVERY above-threshold pair): keep each vec's k best candidates
@@ -566,12 +581,16 @@ def lsh_candidate_cosines(df: DataFrame, dim: int, n_tables: int = 8,
             n_super = 4096
         kernel = (_super_group_topk(group_topk) if group_topk
                   else _super_group_pair_cos)
+        # NB: the stream may carry CROSS-group duplicates of a pair
+        # (identical cosine — the kernel is deterministic); consumers
+        # dedup where they already shuffle (lsh_topk inside its ranking
+        # window, embedding_near_dup in its orientation distinct) instead
+        # of paying a dedicated distinct exchange here (round 7)
         j = (entries.withColumn(
                 "sg", F.pmod(F.xxhash64("bkt"), F.lit(n_super)))
              .groupBy("sg")
              .applyInPandas(kernel,
-                            "vec_id bigint, nbr_id bigint, cosine double")
-             .distinct())
+                            "vec_id bigint, nbr_id bigint, cosine double"))
     else:
         base = base.withColumn("buckets", F.slice("probe_buckets", 1, n_tables))
         base = base.persist()
